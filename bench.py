@@ -1,0 +1,89 @@
+"""Headline benchmark: 1080p magnified frames/s on one TPU chip.
+
+Reference-parity configuration (pyramid mode, L=5, square power-of-two
+padding => 2048x2048 internal resolution — exactly the reference's 1080p
+working set, `MotionMagnificationProcessor.cs:298-302`), using the batched
+two-frame engine (`parallel.magnify_clip_batched`).
+
+Prints ONE JSON line:
+  {"metric": "fps_1080p_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N/30}
+Baseline: the driver-defined 30 fps/chip real-time target (BASELINE.md —
+the reference publishes no numbers).  Extra diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pbmm_jax_cache")
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+    )
+
+    from pbmm_tpu.config import MagnifyConfig
+    from pbmm_tpu.parallel.sharding import magnify_clip_batched
+
+    log(f"devices: {jax.devices()}")
+
+    h, w, t = 1080, 1920, 8
+    reps = 4
+    rng = np.random.default_rng(0)
+    base = rng.random((h, w, 3)).astype(np.float32)
+    # Slightly shifting content so phase deltas are realistic (gates open).
+    frames = np.stack(
+        [np.roll(base, shift=i, axis=1) * (0.95 + 0.01 * i) for i in range(t)]
+    )
+    cfg = MagnifyConfig()  # reference defaults: pyramid, L=5, scale=10
+
+    frames_dev = jax.device_put(frames)
+
+    def sync(x):
+        # On the tunneled dev runtime block_until_ready returns early; a
+        # 1-element fetch forces real completion (~30 ms tunnel round-trip,
+        # amortized over all queued executions).
+        np.asarray(x[0, 0, 0, 0])
+
+    t0 = time.perf_counter()
+    out = magnify_clip_batched(frames_dev, cfg)
+    sync(out)
+    log(f"compile+first: {time.perf_counter() - t0:.1f}s")
+
+    # Warm a second call so all executables/buffers exist, then time.
+    out = magnify_clip_batched(frames_dev, cfg)
+    sync(out)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = magnify_clip_batched(frames_dev, cfg)
+    sync(out)
+    dt = time.perf_counter() - t0
+    fps = t * reps / dt
+    log(f"steady: {dt:.3f}s for {t * reps} frames -> {fps:.2f} fps")
+
+    print(
+        json.dumps(
+            {
+                "metric": "fps_1080p_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

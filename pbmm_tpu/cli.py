@@ -1,0 +1,165 @@
+"""Command-line entry point.
+
+The reference's only "config system" is Unity inspector serialization
+(SURVEY.md §5); this CLI is its TPU-native replacement: every pipeline
+parameter is a flag, applied to a video tensor file.
+
+    python -m pbmm_tpu.cli --input clip.npy --output out.npy --phase-scale 10
+    python -m pbmm_tpu.cli --demo bar --output out.npy   # synthetic demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pbmm_tpu",
+        description="TPU-native phase-based motion magnification",
+    )
+    p.add_argument("--input", help="input video tensor (.npy/.npz, THWC)")
+    p.add_argument("--demo", choices=["bar", "blob"],
+                   help="generate a synthetic demo clip instead of --input")
+    p.add_argument("--output", required=True, help="output path (.npy/.npz)")
+    p.add_argument("--mode", default="pyramid", choices=["pyramid", "standard"])
+    p.add_argument("--phase-scale", type=float, default=10.0)
+    p.add_argument("--levels", type=int, default=5)
+    p.add_argument("--min-frequency", type=float, default=0.05)
+    p.add_argument("--max-frequency", type=float, default=0.45)
+    p.add_argument("--orientations", type=int, default=0)
+    p.add_argument("--magnitude-threshold", type=float, default=0.01)
+    p.add_argument("--low-cutoff", type=float, default=0.05)
+    p.add_argument("--high-cutoff", type=float, default=0.4)
+    p.add_argument("--steepness", type=float, default=3.0)
+    p.add_argument("--motion-sensitivity", type=float, default=1.5)
+    p.add_argument("--edge-enhancement", type=float, default=0.8)
+    p.add_argument("--no-edges", action="store_true")
+    p.add_argument("--no-bandpass", action="store_true")
+    p.add_argument("--chroma", default="y_only", choices=["y_only", "rgb"])
+    p.add_argument("--pad-mode", default="square_pow2",
+                   choices=["square_pow2", "rect_pow2"])
+    p.add_argument("--reconstruct", default="magnitude",
+                   choices=["magnitude", "real"])
+    p.add_argument("--temporal", default="two_frame",
+                   choices=["two_frame", "iir_bandpass"])
+    p.add_argument("--temporal-low-hz", type=float, default=0.4)
+    p.add_argument("--temporal-high-hz", type=float, default=3.0)
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "scan", "batched"],
+                   help="scan = streaming lax.scan; batched = all-frames "
+                        "batch (two-frame mode only); auto picks batched "
+                        "when legal")
+    p.add_argument("--checkpoint", help="state file: loaded if it exists, "
+                                        "saved after the run (streaming)")
+    p.add_argument("--stats", action="store_true",
+                   help="print a JSON line of timing/shape stats to stderr")
+    return p
+
+
+def config_from_args(args):
+    from pbmm_tpu.config import MagnifyConfig, TemporalConfig
+
+    return MagnifyConfig(
+        mode=args.mode,
+        phase_scale=args.phase_scale,
+        pyramid_levels=args.levels,
+        min_frequency=args.min_frequency,
+        max_frequency=args.max_frequency,
+        orientations=args.orientations,
+        magnitude_threshold=args.magnitude_threshold,
+        low_freq_cutoff=args.low_cutoff,
+        high_freq_cutoff=args.high_cutoff,
+        filter_steepness=args.steepness,
+        motion_sensitivity=args.motion_sensitivity,
+        enhance_edges=not args.no_edges,
+        edge_enhancement=args.edge_enhancement,
+        apply_bandpass=not args.no_bandpass,
+        chroma=args.chroma,
+        pad_mode=args.pad_mode,
+        reconstruct=args.reconstruct,
+        temporal=TemporalConfig(
+            mode=args.temporal,
+            low_hz=args.temporal_low_hz,
+            high_hz=args.temporal_high_hz,
+            fps=args.fps,
+        ),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if bool(args.input) == bool(args.demo):
+        print("error: exactly one of --input / --demo is required",
+              file=sys.stderr)
+        return 2
+
+    from pbmm_tpu.io.video import load_video, save_video
+
+    if args.demo:
+        from pbmm_tpu.oracle.synthetic import (
+            oscillating_bar,
+            oscillating_gaussian_blob,
+        )
+
+        frames = (oscillating_bar(bar_width=2) if args.demo == "bar"
+                  else oscillating_gaussian_blob())
+    else:
+        frames = load_video(args.input)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        print(f"error: expected (T, H, W, 3) input, got {frames.shape}",
+              file=sys.stderr)
+        return 2
+
+    cfg = config_from_args(args)
+    t0 = time.perf_counter()
+
+    use_batched = args.engine == "batched" or (
+        args.engine == "auto"
+        and cfg.temporal.mode == "two_frame"
+        and not args.checkpoint
+    )
+    if use_batched:
+        from pbmm_tpu.parallel.sharding import magnify_clip_batched
+
+        out = np.asarray(magnify_clip_batched(frames, cfg))
+    else:
+        import os
+
+        from pbmm_tpu.engine.state import load_state, save_state
+        from pbmm_tpu.engine.video import magnify_video
+
+        state = None
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            state = load_state(args.checkpoint)
+        out_j, state = magnify_video(frames, cfg, state=state)
+        out = np.asarray(out_j)
+        if args.checkpoint:
+            save_state(state, args.checkpoint)
+
+    dt = time.perf_counter() - t0
+    save_video(args.output, out)
+    if args.stats:
+        print(
+            json.dumps(
+                {
+                    "frames": int(frames.shape[0]),
+                    "shape": list(frames.shape[1:3]),
+                    "seconds": round(dt, 3),
+                    "fps": round(frames.shape[0] / dt, 2),
+                    "engine": "batched" if use_batched else "scan",
+                }
+            ),
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

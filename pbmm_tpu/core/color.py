@@ -1,0 +1,72 @@
+"""RGB <-> YIQ color transforms.
+
+NTSC matrices as used by the reference fragment shaders
+(`Assets/Shaders/RGBToYIQ.shader:46-50`, `Assets/Shaders/YIQToRGB.shader:51-55`),
+implemented as a single einsum so XLA fuses the 3x3 contraction with the
+surrounding elementwise work (on TPU this lowers to VPU ops — a 3-wide
+contraction is far below MXU tile size, and XLA handles that choice).
+
+The reference's optional per-channel YIQ gains are inert (the shader keyword
+`_YIQADJUSTMENT_ON` is never enabled and the multipliers are fixed at 1.0 —
+`YIQToRGB.shader:20,65-70`, `MotionMagnificationProcessor.cs:24-26`), so they
+are intentionally not reproduced.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Rows: Y, I, Q.  `RGBToYIQ.shader:46-50`.
+RGB_TO_YIQ = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [0.596, -0.274, -0.322],
+        [0.211, -0.523, 0.312],
+    ],
+    dtype=np.float32,
+)
+
+# Rows: R, G, B.  `YIQToRGB.shader:51-55`.  (Not the exact inverse of the
+# above — the reference hardcodes both matrices; we reproduce both.)
+YIQ_TO_RGB = np.array(
+    [
+        [1.0, 0.956, 0.621],
+        [1.0, -0.272, -0.647],
+        [1.0, -1.106, 1.703],
+    ],
+    dtype=np.float32,
+)
+
+
+def _apply_3x3(x: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+    """Explicit elementwise FMA form of a 3x3 channel transform.
+
+    Written out (rather than einsum/dot) deliberately: a 3-wide contraction
+    on TPU would otherwise hit the MXU's bf16-input fp32-accumulate path and
+    lose ~3 decimal digits; as scalar FMAs it runs on the VPU in full fp32
+    and fuses into the surrounding pad/window arithmetic.
+    """
+    c0, c1, c2 = x[..., 0], x[..., 1], x[..., 2]
+    rows = [
+        c0 * float(m[d, 0]) + c1 * float(m[d, 1]) + c2 * float(m[d, 2])
+        for d in range(3)
+    ]
+    return jnp.stack(rows, axis=-1)
+
+
+def rgb_to_yiq(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) RGB -> (..., 3) YIQ."""
+    return _apply_3x3(rgb, RGB_TO_YIQ)
+
+
+def yiq_to_rgb(yiq: jnp.ndarray, saturate: bool = True) -> jnp.ndarray:
+    """(..., 3) YIQ -> (..., 3) RGB.
+
+    `saturate=True` applies the [0,1] clamp the reference performs after the
+    matrix multiply (`YIQToRGB.shader:76`).
+    """
+    rgb = _apply_3x3(yiq, YIQ_TO_RGB)
+    if saturate:
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+    return rgb

@@ -1,0 +1,144 @@
+"""Padding, Hann windowing, cropping and the separable "anti-aliasing" blur.
+
+These replace the reference's raster passes (`Hidden/WindowingFunction`,
+`Hidden/GaussianBlur`, the GL-quad pad/crop in
+`MotionMagnificationProcessor.cs:358-410`) with trivial vectorized array math —
+raster passes exist in the reference only because Unity makes full-screen math
+easiest as fragment shaders (SURVEY.md §1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Geometry(NamedTuple):
+    """Static pad/crop geometry. All ints, derived from shapes at trace time."""
+
+    in_h: int
+    in_w: int
+    pad_h: int
+    pad_w: int
+    y0: int  # top offset of the image inside the padded frame
+    x0: int  # left offset
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def geometry_for(in_h: int, in_w: int, pad_mode: str = "square_pow2") -> Geometry:
+    """Pad-size calculation.
+
+    "square_pow2" is the reference rule: N = NextPowerOfTwo(max(w, h)) for
+    both axes (`MotionMagnificationProcessor.cs:298-302`; the square
+    constraint exists there only because the FFT driver shares one
+    bitrev/twiddle table between axes, `:531-535`).  "rect_pow2" pads each
+    axis independently — e.g. 1920x1080 -> 2048x1024 instead of 2048x2048
+    (1.9x fewer pixels), exposed as a perf option per SURVEY.md §7.3.
+    """
+    if pad_mode == "square_pow2":
+        n = _next_pow2(max(in_h, in_w))
+        pad_h = pad_w = n
+    elif pad_mode == "rect_pow2":
+        pad_h, pad_w = _next_pow2(in_h), _next_pow2(in_w)
+    else:
+        raise ValueError(f"unknown pad_mode: {pad_mode!r}")
+    # Center placement; the reference's GL quad offsets are
+    # (1 - w/N)/2 in uv, i.e. (N - w)/2 pixels (`:358-384`).
+    return Geometry(in_h, in_w, pad_h, pad_w, (pad_h - in_h) // 2, (pad_w - in_w) // 2)
+
+
+def hann2d(pad_h: int, pad_w: int) -> jnp.ndarray:
+    """2D separable Hann window over the padded frame, (pad_h, pad_w) f32.
+
+    The reference windows with uv = pixel-center texture coordinates:
+    w(u) = 0.5*(1 - cos(2*pi*u)), u = (i + 0.5)/N, separable in x and y
+    (`WindowingFunction.shader:46-70`).  Computed on device from iota (a
+    2048^2 constant would be 16 MB baked into every executable).
+    """
+    iy = (jnp.arange(pad_h, dtype=jnp.float32) + 0.5) / pad_h
+    ix = (jnp.arange(pad_w, dtype=jnp.float32) + 0.5) / pad_w
+    wy = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * iy))
+    wx = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * ix))
+    return wy[:, None] * wx[None, :]
+
+
+def pad_center(img: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
+    """Center-pad (..., H, W, C) with zeros ("black borders",
+    `MotionMagnificationProcessor.cs:365`) to (..., pad_h, pad_w, C)."""
+    pads = [(0, 0)] * (img.ndim - 3) + [
+        (geom.y0, geom.pad_h - geom.in_h - geom.y0),
+        (geom.x0, geom.pad_w - geom.in_w - geom.x0),
+        (0, 0),
+    ]
+    return jnp.pad(img, pads)
+
+
+def crop_center(img: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
+    """Center-crop back to (..., H, W, C) (`MotionMagnificationProcessor.cs:
+    386-410`; the reference's crop quad gathers exact source texel centers)."""
+    return img[
+        ..., geom.y0 : geom.y0 + geom.in_h, geom.x0 : geom.x0 + geom.in_w, :
+    ]
+
+
+@functools.lru_cache(maxsize=8)
+def blur_taps(blur_size: float = 0.5) -> Tuple[float, ...]:
+    """Discrete equivalent of the reference's bilinear-sampled 5-tap blur.
+
+    The shader samples at offsets {0, ±1.3846153846*s, ±3.2307692308*s}
+    texels with weights {0.2270270270, 0.3162162162, 0.0702702703}
+    (`GaussianBlur.shader:52-57`) using hardware bilinear filtering, so each
+    fractional tap splats onto its two neighboring texels.  At the
+    reference's fixed _BlurSize = 0.5 (`MotionMagnificationProcessor.cs:427`)
+    this reduces *exactly* to a discrete symmetric 5-tap kernel, derived here
+    from the same constants rather than hardcoded.
+    """
+    offs = np.array([1.3846153846, 3.2307692308]) * blur_size
+    wts = np.array([0.3162162162, 0.0702702703])
+    radius = int(np.ceil(offs.max()))
+    taps = np.zeros(2 * radius + 1, dtype=np.float64)
+    taps[radius] = 0.2270270270
+    for off, w in zip(offs, wts):
+        lo = int(np.floor(off))
+        frac = off - lo
+        for sign in (+1, -1):
+            taps[radius + sign * lo] += w * (1.0 - frac)
+            taps[radius + sign * (lo + 1)] += w * frac
+    return tuple(float(t) for t in taps)
+
+
+def _blur_axis(img: jnp.ndarray, taps: Tuple[float, ...], axis: int) -> jnp.ndarray:
+    """Apply a symmetric 1D kernel along `axis` with edge-replicate padding
+    (Unity RenderTextures default to clamp wrap mode, which the shader's
+    out-of-range bilinear fetches hit at the borders)."""
+    radius = (len(taps) - 1) // 2
+    pads = [(0, 0)] * img.ndim
+    pads[axis] = (radius, radius)
+    padded = jnp.pad(img, pads, mode="edge")
+    n = img.shape[axis]
+    out = None
+    for k, t in enumerate(taps):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(k, k + n)
+        term = padded[tuple(sl)] * t
+        out = term if out is None else out + term
+    return out
+
+
+def gaussian_blur5(img: jnp.ndarray, blur_size: float = 0.5,
+                   axes: Tuple[int, int] = (-2, -1)) -> jnp.ndarray:
+    """Separable blur, horizontal then vertical like the reference
+    (`MotionMagnificationProcessor.cs:423-433`)."""
+    taps = blur_taps(blur_size)
+    img = _blur_axis(img, taps, axes[1])
+    img = _blur_axis(img, taps, axes[0])
+    return img

@@ -1,0 +1,117 @@
+"""Streaming video magnification via `lax.scan`.
+
+The reference's only cross-frame state is `previousSourceTexture` plus a
+first-frame flag (`MotionMagnificationProcessor.cs:56-57,75,111-117,142`).
+Here the carried state is an explicit, serializable pytree (`VideoState`) of
+f32 arrays: the previous frame's spectrum (split re/im — complex64 cannot
+cross host<->device on all TPU runtimes), optional previous-frame pixels for
+the no-cache parity mode, temporal IIR filter taps, and the frame index.
+That makes long video jobs resumable mid-stream (SURVEY.md §5
+checkpoint/resume row) — see `engine.state`.
+
+First-frame semantics match `OnRenderImage`'s bootstrap: frame 0 passes
+through unmodified (`MotionMagnificationProcessor.cs:111-117`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pbmm_tpu.config import MagnifyConfig
+from pbmm_tpu.core.complexop import combine
+from pbmm_tpu.core.window import crop_center
+from pbmm_tpu.engine.pipeline import (
+    _geometry,
+    amplify_spectrum,
+    postprocess,
+    preprocess,
+)
+from pbmm_tpu.phase.temporal import TemporalState, temporal_init
+
+
+class VideoState(NamedTuple):
+    """Scan carry / checkpointable pipeline state. f32/i32 leaves only."""
+
+    prev_spec_re: jnp.ndarray  # (C, Hp, Wp) f32 (empty if not caching)
+    prev_spec_im: jnp.ndarray
+    prev_frame: jnp.ndarray  # (H, W, 3) f32 (empty if caching spectra)
+    temporal: TemporalState
+    frame_idx: jnp.ndarray  # () i32
+
+
+def video_init(first_frame: jnp.ndarray, cfg: MagnifyConfig) -> VideoState:
+    """Bootstrap state from frame 0."""
+    spec, _ = preprocess(first_frame, cfg)
+    if cfg.cache_prev_spectrum:
+        sre, sim = jnp.real(spec), jnp.imag(spec)
+        pframe = jnp.zeros((0, 0, 0), jnp.float32)
+    else:
+        sre = sim = jnp.zeros((0, 0, 0), jnp.float32)
+        pframe = first_frame.astype(jnp.float32)
+    tstate = temporal_init(spec.shape, cfg.temporal)
+    return VideoState(sre, sim, pframe, tstate, jnp.int32(0))
+
+
+def video_step(
+    state: VideoState, frame: jnp.ndarray, cfg: MagnifyConfig
+) -> Tuple[VideoState, jnp.ndarray]:
+    """Process one frame; returns (new_state, magnified RGB frame)."""
+    geom = _geometry(frame.shape, cfg)
+    cur_spec, cur_windowed = preprocess(frame, cfg)
+
+    if cfg.cache_prev_spectrum:
+        prev_spec = combine(state.prev_spec_re, state.prev_spec_im)
+    else:
+        # Reference-faithful: fully re-process the previous frame
+        # (`MotionMagnificationProcessor.cs:151-156`).
+        prev_spec, _ = preprocess(state.prev_frame, cfg)
+
+    mod_spec, new_temporal = amplify_spectrum(
+        cur_spec, prev_spec, cfg, state.temporal
+    )
+    out = crop_center(postprocess(mod_spec, cur_windowed, cfg), geom)
+
+    if cfg.cache_prev_spectrum:
+        sre, sim = jnp.real(cur_spec), jnp.imag(cur_spec)
+        pframe = state.prev_frame
+    else:
+        sre, sim = state.prev_spec_re, state.prev_spec_im
+        pframe = frame.astype(jnp.float32)
+    new_state = VideoState(
+        sre, sim, pframe, new_temporal, state.frame_idx + 1
+    )
+    return new_state, out
+
+
+def magnify_video(
+    frames: jnp.ndarray, cfg: MagnifyConfig, state: VideoState = None
+) -> Tuple[jnp.ndarray, VideoState]:
+    """Magnify a clip.
+
+    Args:
+      frames: (T, H, W, 3) f32 RGB in [0, 1].
+      state: optional carry from a previous chunk (streaming / resume).
+        When None, frame 0 bootstraps the state and passes through
+        unmodified, like the reference's first rendered frame.
+
+    Returns (out_frames (T, H, W, 3), final_state).  Chunked streaming:
+    call repeatedly with consecutive clips, threading the returned state.
+    """
+    if state is None:
+        state = video_init(frames[0], cfg)
+        first_out = frames[0].astype(jnp.float32)[None]
+        rest = frames[1:]
+    else:
+        first_out = None
+        rest = frames
+
+    def step(s, f):
+        return video_step(s, f, cfg)
+
+    final_state, outs = jax.lax.scan(step, state, rest)
+    if first_out is not None:
+        outs = jnp.concatenate([first_out, outs], axis=0)
+    return outs, final_state

@@ -1,0 +1,59 @@
+"""Video tensor I/O.
+
+The reference has no video I/O at all — frames arrive from Unity's renderer
+(`OnRenderImage`).  The TPU framework is offline/streaming, so clips are
+exchanged as arrays: .npy/.npz natively; common video containers via
+imageio/cv2 when available (gated — neither ships in the baked image).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _to_float01(frames: np.ndarray) -> np.ndarray:
+    if frames.dtype == np.uint8:
+        return frames.astype(np.float32) / 255.0
+    return frames.astype(np.float32)
+
+
+def load_video(path: str) -> np.ndarray:
+    """-> (T, H, W, 3) f32 in [0, 1]."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        return _to_float01(np.load(path))
+    if ext == ".npz":
+        with np.load(path) as z:
+            key = "frames" if "frames" in z else list(z.keys())[0]
+            return _to_float01(z[key])
+    try:  # pragma: no cover - optional dependency
+        import imageio.v3 as iio
+
+        return _to_float01(np.asarray(iio.imread(path)))
+    except ImportError as e:
+        raise RuntimeError(
+            f"cannot read {path!r}: only .npy/.npz supported without imageio"
+        ) from e
+
+
+def save_video(path: str, frames: np.ndarray) -> None:
+    """Save (T, H, W, 3) float frames; .npy/.npz as f32, containers via
+    imageio as uint8."""
+    ext = os.path.splitext(path)[1].lower()
+    frames = np.asarray(frames)
+    if ext == ".npy":
+        np.save(path, frames.astype(np.float32))
+        return
+    if ext == ".npz":
+        np.savez_compressed(path, frames=frames.astype(np.float32))
+        return
+    try:  # pragma: no cover - optional dependency
+        import imageio.v3 as iio
+
+        iio.imwrite(path, (np.clip(frames, 0, 1) * 255).astype(np.uint8))
+    except ImportError as e:
+        raise RuntimeError(
+            f"cannot write {path!r}: only .npy/.npz supported without imageio"
+        ) from e

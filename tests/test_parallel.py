@@ -1,0 +1,61 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend (SURVEY.md §4c):
+the sharded batched path must equal the unsharded scan path."""
+
+import jax
+import numpy as np
+import pytest
+
+from pbmm_tpu.config import MagnifyConfig
+from pbmm_tpu.engine.video import magnify_video
+from pbmm_tpu.oracle.synthetic import oscillating_gaussian_blob
+from pbmm_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from pbmm_tpu.parallel.sharding import magnify_batch_sharded, magnify_clip_batched
+from pbmm_tpu.utils.metrics import psnr
+
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+CFG = MagnifyConfig()
+CLIP = oscillating_gaussian_blob(height=48, width=48, frames=8)
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(8, n_videos=1) == (1, 8)
+    assert mesh_shape_for(8, n_videos=4) == (4, 2)
+    assert mesh_shape_for(8, n_videos=64) == (8, 1)
+    assert mesh_shape_for(1) == (1, 1)
+
+
+def test_batched_equals_scan():
+    out_scan, _ = magnify_video(CLIP, CFG)
+    out_batch = magnify_clip_batched(CLIP, CFG)
+    assert out_batch.shape == CLIP.shape
+    assert psnr(np.asarray(out_batch), np.asarray(out_scan)) > 70.0
+
+
+def test_sharded_equals_unsharded():
+    batch = np.stack([CLIP, CLIP[:, ::-1]])  # 2 videos
+    mesh = make_mesh((2, 4))
+    out_sh = np.asarray(magnify_batch_sharded(batch, CFG, mesh))
+    out_ref = np.stack(
+        [np.asarray(magnify_clip_batched(v, CFG)) for v in batch]
+    )
+    assert psnr(out_sh, out_ref) > 70.0
+
+
+def test_sharded_frame_axis_only():
+    batch = CLIP[None]  # 1 video, frames over all 8 devices
+    mesh = make_mesh((1, 8))
+    out = np.asarray(magnify_batch_sharded(batch, CFG, mesh))
+    ref, _ = magnify_video(CLIP, CFG)
+    assert psnr(out[0], np.asarray(ref)) > 70.0
+
+
+def test_batched_rejects_iir_mode():
+    from pbmm_tpu.config import TemporalConfig
+
+    cfg = MagnifyConfig(temporal=TemporalConfig(mode="iir_bandpass"))
+    with pytest.raises(ValueError, match="two-frame"):
+        magnify_clip_batched(CLIP, cfg)

@@ -1,0 +1,132 @@
+"""End-to-end parity: the jitted TPU pipeline vs the numpy oracle
+(SURVEY.md §4b; BASELINE config 1 — 128x128 oscillating bar).
+
+The contract is PSNR-based, not bit-exact (fp32 atan2/sincos ULP differences
+accumulate through the FFT; SURVEY.md §7.3) — but on CPU fp32 vs fp64 oracle
+the agreement should be far above the 35 dB target."""
+
+import jax
+import numpy as np
+import pytest
+
+from pbmm_tpu.config import MagnifyConfig
+from pbmm_tpu.engine.pipeline import magnify_frame_pair
+from pbmm_tpu.engine.video import magnify_video
+from pbmm_tpu.oracle.reference import oracle_magnify_pair, oracle_magnify_video
+from pbmm_tpu.oracle.synthetic import oscillating_bar
+from pbmm_tpu.utils.metrics import psnr
+
+
+FRAMES = oscillating_bar(size=128, frames=6)
+
+
+def _pair_psnr(cfg) -> float:
+    fn = jax.jit(magnify_frame_pair, static_argnums=2)
+    got = np.asarray(fn(FRAMES[2], FRAMES[3], cfg))
+    want = oracle_magnify_pair(FRAMES[2], FRAMES[3], cfg)
+    return psnr(got, want)
+
+
+class TestPairParity:
+    def test_pyramid_default(self):
+        assert _pair_psnr(MagnifyConfig()) > 55.0
+
+    def test_pyramid_scene_params(self):
+        assert _pair_psnr(MagnifyConfig.scene_defaults()) > 55.0
+
+    def test_standard_mode(self):
+        assert _pair_psnr(MagnifyConfig(mode="standard")) > 55.0
+
+    def test_standard_no_bandpass(self):
+        assert _pair_psnr(MagnifyConfig(mode="standard", apply_bandpass=False)) > 55.0
+
+    def test_real_reconstruction(self):
+        assert _pair_psnr(MagnifyConfig(reconstruct="real")) > 55.0
+
+    def test_high_scale(self):
+        assert _pair_psnr(MagnifyConfig(phase_scale=25.0)) > 50.0
+
+    def test_rect_padding(self):
+        frames = oscillating_bar(size=96, frames=4)  # pads 96->128 square
+        cfg = MagnifyConfig(pad_mode="rect_pow2")
+        got = np.asarray(magnify_frame_pair(frames[1], frames[2], cfg))
+        want = oracle_magnify_pair(frames[1], frames[2], cfg)
+        assert psnr(got, want) > 55.0
+
+    def test_magnification_actually_magnifies(self):
+        # Output with scale=10 must differ from scale-0 output where motion is.
+        cfg0 = MagnifyConfig(phase_scale=0.0)
+        cfg10 = MagnifyConfig(phase_scale=10.0)
+        out0 = np.asarray(magnify_frame_pair(FRAMES[2], FRAMES[3], cfg0))
+        out10 = np.asarray(magnify_frame_pair(FRAMES[2], FRAMES[3], cfg10))
+        assert np.abs(out10 - out0).max() > 0.01
+
+
+class TestVideoParity:
+    def test_video_matches_oracle_video(self):
+        cfg = MagnifyConfig()
+        out, _ = magnify_video(FRAMES, cfg)
+        want = oracle_magnify_video(FRAMES, cfg)
+        assert psnr(np.asarray(out), want) > 55.0
+
+    def test_first_frame_passthrough(self):
+        cfg = MagnifyConfig()
+        out, _ = magnify_video(FRAMES, cfg)
+        np.testing.assert_allclose(np.asarray(out[0]), FRAMES[0], atol=1e-6)
+
+    def test_cache_vs_nocache_identical(self):
+        # Caching the previous spectrum must be mathematically equivalent to
+        # the reference's re-FFT of the previous frame (SURVEY.md §7.0).
+        cfg_c = MagnifyConfig(cache_prev_spectrum=True)
+        cfg_n = MagnifyConfig(cache_prev_spectrum=False)
+        out_c, _ = magnify_video(FRAMES, cfg_c)
+        out_n, _ = magnify_video(FRAMES, cfg_n)
+        assert psnr(np.asarray(out_c), np.asarray(out_n)) > 70.0
+
+    def test_video_step_equals_pair_for_two_frame_mode(self):
+        cfg = MagnifyConfig()
+        out, _ = magnify_video(FRAMES[:3], cfg)
+        pair = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg))
+        assert psnr(np.asarray(out[2]), pair) > 70.0
+
+    def test_chunked_streaming_equals_whole(self):
+        cfg = MagnifyConfig()
+        whole, _ = magnify_video(FRAMES, cfg)
+        first, st = magnify_video(FRAMES[:3], cfg)
+        rest, _ = magnify_video(FRAMES[3:], cfg, state=st)
+        chunked = np.concatenate([np.asarray(first), np.asarray(rest)])
+        np.testing.assert_allclose(chunked, np.asarray(whole), atol=1e-5)
+
+
+class TestExtensions:
+    def test_chroma_rgb_runs(self):
+        cfg = MagnifyConfig(chroma="rgb")
+        out = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg))
+        assert out.shape == FRAMES[2].shape
+        assert np.isfinite(out).all()
+
+    def test_orientations_runs_and_reduces_to_radial_at_scale0(self):
+        # With phase_scale=0 the steerable bank must collapse identically to
+        # the radial bank (partition of unity) except for gate differences;
+        # compare outputs directly.
+        cfg_r = MagnifyConfig(phase_scale=0.0)
+        cfg_s = MagnifyConfig(phase_scale=0.0, orientations=4)
+        out_r = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg_r))
+        out_s = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg_s))
+        assert psnr(out_r, out_s) > 60.0
+
+    def test_temporal_iir_runs(self):
+        from pbmm_tpu.config import TemporalConfig
+
+        cfg = MagnifyConfig(
+            temporal=TemporalConfig(mode="iir_bandpass", low_hz=0.5,
+                                    high_hz=5.0, fps=30.0)
+        )
+        out, st = magnify_video(FRAMES, cfg)
+        assert np.isfinite(np.asarray(out)).all()
+        assert st.temporal.lp_fast.shape == (1, 128, 128)
+
+    def test_window_compensation(self):
+        cfg = MagnifyConfig(compensate_window=True)
+        out = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg))
+        assert np.isfinite(out).all()
