@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "when legal")
     p.add_argument("--checkpoint", help="state file: loaded if it exists, "
                                         "saved after the run (streaming)")
+    p.add_argument("--debug-view", choices=["magnitude", "phase", "split"],
+                   help="render spectrum debug views instead of magnifying "
+                        "(the reference's showMagnitude/showPhase toggles)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream the input in chunks through the native "
+                        "prefetching loader (flat memory for long videos)")
+    p.add_argument("--chunk-frames", type=int, default=8)
     p.add_argument("--stats", action="store_true",
                    help="print a JSON line of timing/shape stats to stderr")
     return p
@@ -93,8 +100,24 @@ def config_from_args(args):
     )
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — first compiles through the dev
+    TPU tunnel take 30-160s; cached reloads are near-instant."""
+    import os
+
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/pbmm_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     if bool(args.input) == bool(args.demo):
         print("error: exactly one of --input / --demo is required",
               file=sys.stderr)
@@ -119,6 +142,41 @@ def main(argv=None) -> int:
 
     cfg = config_from_args(args)
     t0 = time.perf_counter()
+
+    if args.debug_view:
+        import jax
+
+        from pbmm_tpu.utils.debug import debug_frame_view
+
+        fn = jax.jit(
+            lambda f: debug_frame_view(
+                f,
+                cfg,
+                show_magnitude=args.debug_view in ("magnitude", "split"),
+                show_phase=args.debug_view in ("phase", "split"),
+            )
+        )
+        out = np.stack([np.asarray(fn(f)) for f in frames])
+        save_video(args.output, out)
+        return 0
+
+    if args.stream:
+        if not args.input:
+            print("error: --stream requires --input", file=sys.stderr)
+            return 2
+        from pbmm_tpu.io.stream import stream_magnify
+
+        out = np.concatenate(
+            list(stream_magnify(args.input, cfg,
+                                chunk_frames=args.chunk_frames))
+        )
+        dt = time.perf_counter() - t0
+        save_video(args.output, out)
+        if args.stats:
+            print(json.dumps({"frames": int(out.shape[0]),
+                              "seconds": round(dt, 3),
+                              "engine": "stream"}), file=sys.stderr)
+        return 0
 
     use_batched = args.engine == "batched" or (
         args.engine == "auto"

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from pbmm_tpu.config import MagnifyConfig
@@ -57,16 +58,19 @@ def preprocess(
     PerformFFT (`MotionMagnificationProcessor.cs:147-155`), with C = 1
     channel (Y) in reference mode or 3 (Y, I, Q) when `chroma="rgb"`.
     """
-    geom = _geometry(frame_rgb.shape, cfg)
-    yiq = rgb_to_yiq(frame_rgb.astype(jnp.float32))
-    padded = pad_center(yiq, geom)
-    win = hann2d(geom.pad_h, geom.pad_w)
-    windowed = padded * win[..., None]
-    if cfg.chroma == "rgb":
-        chans = jnp.moveaxis(windowed, -1, -3)  # (..., 3, Hp, Wp)
-    else:
-        chans = windowed[..., 0][..., None, :, :]  # (..., 1, Hp, Wp) — Y plane
-    return fft2_centered(chans), windowed
+    with jax.named_scope("pbmm.preprocess"):
+        geom = _geometry(frame_rgb.shape, cfg)
+        yiq = rgb_to_yiq(frame_rgb.astype(jnp.float32))
+        padded = pad_center(yiq, geom)
+        win = hann2d(geom.pad_h, geom.pad_w)
+        windowed = padded * win[..., None]
+        if cfg.chroma == "rgb":
+            chans = jnp.moveaxis(windowed, -1, -3)  # (..., 3, Hp, Wp)
+        else:
+            chans = windowed[..., 0][..., None, :, :]  # (..., 1, Hp, Wp) — Y
+        with jax.named_scope("pbmm.fft"):
+            spec = fft2_centered(chans)
+        return spec, windowed
 
 
 def amplify_spectrum(
@@ -77,6 +81,11 @@ def amplify_spectrum(
 ) -> Tuple[jnp.ndarray, Optional[TemporalState]]:
     """Dispatch to the pyramid or standard phase core; threads temporal
     state when an IIR temporal filter is configured."""
+    with jax.named_scope("pbmm.phase_amplify"):
+        return _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state)
+
+
+def _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state):
     pad_h, pad_w = cur_spec.shape[-2:]
 
     delta_override = None
@@ -136,12 +145,14 @@ def postprocess(
     CropTexture (`MotionMagnificationProcessor.cs:196-205`).
     """
     pad_h, pad_w = mod_spec.shape[-2:]
-    rec = ifft2_centered(mod_spec)
+    with jax.named_scope("pbmm.ifft"):
+        rec = ifft2_centered(mod_spec)
     if cfg.reconstruct == "magnitude":
         chans = jnp.abs(rec)
     else:
         chans = jnp.real(rec)
-    chans = gaussian_blur5(chans, cfg.blur_size)
+    with jax.named_scope("pbmm.blur"):
+        chans = gaussian_blur5(chans, cfg.blur_size)
 
     if cfg.chroma == "rgb":
         out_yiq = jnp.moveaxis(chans, -3, -1)  # all three planes processed

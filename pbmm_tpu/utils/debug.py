@@ -1,0 +1,104 @@
+"""Debug / observability renderers.
+
+Reproduces the reference's visual-debugging surface (SURVEY.md §5 metrics
+row) as pure array functions: the spectrum magnitude/phase views behind
+`showMagnitude`/`showPhase` (`MotionMagnificationProcessor.cs:234-257`) and
+the standard-mode diagnostic kernels
+(`PhaseDifferenceComputeShader.compute:182-259` — dead code in the reference
+but genuinely useful for parity debugging).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from pbmm_tpu.config import MagnifyConfig
+from pbmm_tpu.core.complexop import wrap_phase
+from pbmm_tpu.core.window import crop_center
+from pbmm_tpu.engine.pipeline import _geometry, preprocess
+from pbmm_tpu.phase.standard import bandpass_weight_map_jnp
+
+
+def magnitude_view(spec: jnp.ndarray) -> jnp.ndarray:
+    """Log-scaled spectrum magnitude, `ConvertComplexMagToTexScaled`
+    (`FFT.compute:153-161`): log10(10|z| + 1) / 4."""
+    return jnp.log10(10.0 * jnp.abs(spec) + 1.0) / 4.0
+
+
+def phase_view(spec: jnp.ndarray) -> jnp.ndarray:
+    """Normalized absolute phase, `ConvertComplexPhaseToTex`
+    (`FFT.compute:164-172`): |atan2(im, re)| / (pi/2)."""
+    return jnp.abs(jnp.angle(spec)) / (jnp.pi / 2.0)
+
+
+def split_screen(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """Side-by-side composite: each input's full image squeezed into one
+    half by 2x horizontal decimation (`ShowSplitScreen` maps full texcoords
+    onto half-screen quads with point-ish sampling,
+    `MotionMagnificationProcessor.cs:458-487`)."""
+    return jnp.concatenate([left[..., ::2], right[..., ::2]], axis=-1)
+
+
+def spatial_frequency_map(pad_h: int, pad_w: int) -> jnp.ndarray:
+    """`GenerateSpatialFrequencyMap` (`PhaseDifferenceComputeShader.compute:
+    182-192`): radius / 0.707 clamped to 1."""
+    fy = jnp.arange(pad_h, dtype=jnp.float32) / pad_h - 0.5
+    fx = jnp.arange(pad_w, dtype=jnp.float32) / pad_w - 0.5
+    return jnp.minimum(
+        jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2) / 0.707, 1.0
+    )
+
+
+def bandpass_weights_view(pad_h: int, pad_w: int, cfg: MagnifyConfig) -> jnp.ndarray:
+    """(H, W, 3) color-coded weight map, `GenerateBandpassWeights`
+    (`PhaseDifferenceComputeShader.compute:195-217`): blue = rejected,
+    green = passed (scaled), red = enhanced."""
+    w = bandpass_weight_map_jnp(pad_h, pad_w, cfg)
+    w_n = jnp.clip(w / jnp.maximum(cfg.motion_sensitivity * 2.0, 1.0), 0.0, 1.0)
+    blue = w_n < 0.1
+    red = w_n > 1.5  # unreachable after the clamp — faithful to the shader
+    r = jnp.where(red, 1.0, 0.0)
+    g = jnp.where(blue | red, 0.0, w_n)
+    b = jnp.where(blue, 1.0, 0.0)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def filtered_phase_delta_view(
+    cur: jnp.ndarray, prev: jnp.ndarray, cfg: MagnifyConfig
+) -> jnp.ndarray:
+    """`GenerateFilteredPhaseDelta` (`PhaseDifferenceComputeShader.compute:
+    220-259`): weighted wrapped delta mapped [-pi, pi] -> [0, 1]; gated bins
+    render black (0)."""
+    pad_h, pad_w = cur.shape[-2:]
+    w = bandpass_weight_map_jnp(pad_h, pad_w, cfg)
+    gate = (jnp.abs(cur) < cfg.magnitude_threshold) | (
+        jnp.abs(prev) < cfg.magnitude_threshold
+    )
+    delta = wrap_phase(jnp.angle(prev) - jnp.angle(cur)) * w
+    norm = (delta + jnp.pi) / (2.0 * jnp.pi)
+    return jnp.where(gate, 0.0, norm)
+
+
+def debug_frame_view(
+    frame_rgb: jnp.ndarray,
+    cfg: MagnifyConfig,
+    show_magnitude: bool = True,
+    show_phase: bool = False,
+) -> jnp.ndarray:
+    """The `ProcessDebugView` path (`MotionMagnificationProcessor.cs:
+    234-257`): FFT the current frame's Y plane and render the requested
+    spectrum view(s), cropped back to frame size.  Both flags set => split
+    screen."""
+    geom = _geometry(frame_rgb.shape, cfg)
+    spec, _ = preprocess(frame_rgb, cfg)
+    spec0 = spec[..., 0, :, :]
+    if show_magnitude and show_phase:
+        img = split_screen(magnitude_view(spec0), phase_view(spec0))
+    elif show_phase:
+        img = phase_view(spec0)
+    else:
+        img = magnitude_view(spec0)
+    rgb = jnp.repeat(img[..., None], 3, axis=-1)
+    return crop_center(rgb, geom)
