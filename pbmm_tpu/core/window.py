@@ -72,21 +72,27 @@ def hann2d(pad_h: int, pad_w: int) -> jnp.ndarray:
 
 
 def pad_center(img: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
-    """Center-pad (..., H, W, C) with zeros ("black borders",
-    `MotionMagnificationProcessor.cs:365`) to (..., pad_h, pad_w, C)."""
-    pads = [(0, 0)] * (img.ndim - 3) + [
+    """Center-pad the last two (spatial) dims with zeros ("black borders",
+    `MotionMagnificationProcessor.cs:365`): (..., H, W) -> (..., Hp, Wp).
+
+    Channels ride in leading dims — the pipeline is channels-first
+    internally so the minor (tiled) dims are the large spatial ones; a
+    trailing size-3 channel dim can cost up to 42x HBM padding under TPU
+    (8, 128) tiling.
+    """
+    pads = [(0, 0)] * (img.ndim - 2) + [
         (geom.y0, geom.pad_h - geom.in_h - geom.y0),
         (geom.x0, geom.pad_w - geom.in_w - geom.x0),
-        (0, 0),
     ]
     return jnp.pad(img, pads)
 
 
 def crop_center(img: jnp.ndarray, geom: Geometry) -> jnp.ndarray:
-    """Center-crop back to (..., H, W, C) (`MotionMagnificationProcessor.cs:
-    386-410`; the reference's crop quad gathers exact source texel centers)."""
+    """Center-crop the last two dims back to (..., H, W)
+    (`MotionMagnificationProcessor.cs:386-410`; the reference's crop quad
+    gathers exact source texel centers)."""
     return img[
-        ..., geom.y0 : geom.y0 + geom.in_h, geom.x0 : geom.x0 + geom.in_w, :
+        ..., geom.y0 : geom.y0 + geom.in_h, geom.x0 : geom.x0 + geom.in_w
     ]
 
 

@@ -33,13 +33,21 @@ from pbmm_tpu.core.window import (
     hann2d,
     pad_center,
 )
-from pbmm_tpu.phase.amplify import pyramid_phase_amplify_procedural
+from pbmm_tpu.phase.amplify import (
+    phase_delta,
+    pyramid_phase_amplify_procedural,
+)
 from pbmm_tpu.phase.pallas_kernels import pyramid_phase_amplify_pallas
 from pbmm_tpu.phase.standard import bandpass_weight_map_jnp, standard_phase_amplify
 from pbmm_tpu.phase.temporal import TemporalState, temporal_apply, temporal_init
 from pbmm_tpu.pyramid.filters import amplified_level_flags, filter_bank
-from pbmm_tpu.spectral.fft import fft2_centered, ifft2_centered
-from pbmm_tpu.core.complexop import wrap_phase
+from pbmm_tpu.spectral.fft import (
+    fft2_centered,
+    ifft2_centered,
+    irfft2_half,
+    rfft2_half,
+)
+from pbmm_tpu.spectral.pallas_fft import fft2_bitrev, ifft2_bitrev
 
 
 def _geometry(frame_shape, cfg: MagnifyConfig) -> Geometry:
@@ -51,8 +59,10 @@ def preprocess(
     frame_rgb: jnp.ndarray, cfg: MagnifyConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(..., H, W, 3) RGB -> (spectra (..., C, Hp, Wp) complex64, windowed
-    YIQ (..., Hp, Wp, 3) f32).  Leading batch dims (frames/videos) batch the
-    FFT directly — no vmap — so XLA sees one large transform.
+    YIQ (..., 3, Hp, Wp) f32, channels-first).  Leading batch dims
+    (frames/videos) batch the FFT directly — no vmap — so XLA sees one
+    large transform.  Internals are channels-first so the minor (TPU-tiled)
+    dims are the large spatial ones.
 
     Mirrors Blit(RGBToYIQ) -> PadTexture (+Hann) -> ExtractYChannel ->
     PerformFFT (`MotionMagnificationProcessor.cs:147-155`), with C = 1
@@ -60,16 +70,25 @@ def preprocess(
     """
     with jax.named_scope("pbmm.preprocess"):
         geom = _geometry(frame_rgb.shape, cfg)
-        yiq = rgb_to_yiq(frame_rgb.astype(jnp.float32))
-        padded = pad_center(yiq, geom)
+        rgb_cf = jnp.moveaxis(frame_rgb.astype(jnp.float32), -1, -3)
+        yiq = rgb_to_yiq(rgb_cf, axis=-3)  # (..., 3, H, W)
+        padded = pad_center(yiq, geom)  # (..., 3, Hp, Wp)
         win = hann2d(geom.pad_h, geom.pad_w)
-        windowed = padded * win[..., None]
+        windowed = padded * win
         if cfg.chroma == "rgb":
-            chans = jnp.moveaxis(windowed, -1, -3)  # (..., 3, Hp, Wp)
+            chans = windowed
         else:
-            chans = windowed[..., 0][..., None, :, :]  # (..., 1, Hp, Wp) — Y
+            chans = windowed[..., 0:1, :, :]  # (..., 1, Hp, Wp) — Y plane
         with jax.named_scope("pbmm.fft"):
-            spec = fft2_centered(chans)
+            if cfg.fft_backend == "pallas":
+                shape = chans.shape
+                flat = chans.reshape((-1,) + shape[-2:])
+                re, im = fft2_bitrev(flat, interpret=cfg.interpret_pallas)
+                spec = jax.lax.complex(re, im).reshape(shape)
+            elif cfg.use_rfft:
+                spec = rfft2_half(chans)
+            else:
+                spec = fft2_centered(chans)
         return spec, windowed
 
 
@@ -86,12 +105,21 @@ def amplify_spectrum(
 
 
 def _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state):
-    pad_h, pad_w = cur_spec.shape[-2:]
+    pad_h = cur_spec.shape[-2]
+    if cfg.fft_backend == "pallas":
+        layout = "bitrev2d"
+    elif cfg.use_rfft:
+        layout = "rfft"
+    else:
+        layout = "centered"
+    # In rfft layout the array is (H, W//2+1); recover the spatial width
+    # (square/rect pow-2 padding makes it unambiguous: W = 2*(Wk-1)).
+    pad_w = 2 * (cur_spec.shape[-1] - 1) if cfg.use_rfft else cur_spec.shape[-1]
 
     delta_override = None
     new_state = temporal_state
     if cfg.temporal.mode != "two_frame":
-        delta = wrap_phase(jnp.angle(prev_spec) - jnp.angle(cur_spec))
+        delta = phase_delta(cur_spec, prev_spec)
         if temporal_state is None:
             temporal_state = temporal_init(delta.shape, cfg.temporal)
         delta_override, new_state = temporal_apply(
@@ -115,10 +143,15 @@ def _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state):
         else:
             # Procedural masks: constant-free, fuses into one VPU pass.
             mod = pyramid_phase_amplify_procedural(
-                cur_spec, prev_spec, cfg, delta_override=delta_override
+                cur_spec,
+                prev_spec,
+                cfg,
+                delta_override=delta_override,
+                layout=layout,
+                full_pad_w=pad_w,
             )
     else:
-        weight = bandpass_weight_map_jnp(pad_h, pad_w, cfg)
+        weight = bandpass_weight_map_jnp(pad_h, pad_w, cfg, layout)
         mod = standard_phase_amplify(
             cur_spec,
             prev_spec,
@@ -137,38 +170,53 @@ def postprocess(
     windowed_yiq: jnp.ndarray,
     cfg: MagnifyConfig,
 ) -> jnp.ndarray:
-    """(..., C, Hp, Wp) modified spectra + (..., Hp, Wp, 3) windowed YIQ ->
-    (..., Hp, Wp, 3) RGB (padded; caller crops).  Batch dims flow through.
+    """(..., C, Hp, Wp) modified spectra + (..., 3, Hp, Wp) windowed YIQ ->
+    (..., 3, Hp, Wp) RGB (channels-first, padded; caller crops and moves the
+    channel axis back).  Batch dims flow through.
 
     Mirrors PerformIFFT (magnitude reconstruction, `FFT.compute:143-150`) ->
     ApplyAntiAliasing -> CombineYIQChannels -> YIQToRGB (saturate) ->
     CropTexture (`MotionMagnificationProcessor.cs:196-205`).
     """
-    pad_h, pad_w = mod_spec.shape[-2:]
+    pad_h = mod_spec.shape[-2]
+    pad_w = windowed_yiq.shape[-1]
     with jax.named_scope("pbmm.ifft"):
-        rec = ifft2_centered(mod_spec)
+        if cfg.fft_backend == "pallas":
+            shape = mod_spec.shape
+            flat = mod_spec.reshape((-1,) + shape[-2:])
+            rre, rim = ifft2_bitrev(
+                jnp.real(flat), jnp.imag(flat),
+                interpret=cfg.interpret_pallas,
+            )
+            rec = jax.lax.complex(rre, rim).reshape(shape)
+        elif cfg.use_rfft:
+            rec = irfft2_half(mod_spec, pad_w)  # real by construction
+        else:
+            rec = ifft2_centered(mod_spec)
     if cfg.reconstruct == "magnitude":
+        # Reference takes |z| of the complex result (`FFT.compute:143-150`).
+        # In the rfft path the result is exactly real, so |z| == |re|; the
+        # full path's imaginary residue is fp noise (Hermitian symmetry).
         chans = jnp.abs(rec)
     else:
-        chans = jnp.real(rec)
+        chans = jnp.real(rec) if jnp.iscomplexobj(rec) else rec
     with jax.named_scope("pbmm.blur"):
         chans = gaussian_blur5(chans, cfg.blur_size)
 
     if cfg.chroma == "rgb":
-        out_yiq = jnp.moveaxis(chans, -3, -1)  # all three planes processed
+        out_yiq = chans  # all three planes processed
     else:
         # Processed Y + the *windowed* original I/Q
         # (`CombineYIQChannels.shader:44-57` reads the windowed padded YIQ).
-        y = chans[..., 0, :, :]
         out_yiq = jnp.concatenate(
-            [y[..., None], windowed_yiq[..., 1:]], axis=-1
+            [chans[..., 0:1, :, :], windowed_yiq[..., 1:, :, :]], axis=-3
         )
 
     if cfg.compensate_window:
         win = hann2d(pad_h, pad_w)
-        out_yiq = out_yiq / jnp.maximum(win, 1e-3)[..., None]
+        out_yiq = out_yiq / jnp.maximum(win, 1e-3)
 
-    return yiq_to_rgb(out_yiq, saturate=True)
+    return yiq_to_rgb(out_yiq, saturate=True, axis=-3)
 
 
 def magnify_frame_pair(
@@ -187,4 +235,4 @@ def magnify_frame_pair(
     prev_spec, _ = preprocess(prev_rgb, cfg)
     mod_spec, _ = amplify_spectrum(cur_spec, prev_spec, cfg)
     rgb_padded = postprocess(mod_spec, cur_windowed, cfg)
-    return crop_center(rgb_padded, geom)
+    return jnp.moveaxis(crop_center(rgb_padded, geom), -3, -1)

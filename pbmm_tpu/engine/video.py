@@ -72,7 +72,9 @@ def video_step(
     mod_spec, new_temporal = amplify_spectrum(
         cur_spec, prev_spec, cfg, state.temporal
     )
-    out = crop_center(postprocess(mod_spec, cur_windowed, cfg), geom)
+    out = jnp.moveaxis(
+        crop_center(postprocess(mod_spec, cur_windowed, cfg), geom), -3, -1
+    )
 
     if cfg.cache_prev_spectrum:
         sre, sim = jnp.real(cur_spec), jnp.imag(cur_spec)

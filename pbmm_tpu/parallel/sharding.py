@@ -54,7 +54,7 @@ def _magnify_clip_batched_impl(
 
     mod, _ = amplify_spectrum(specs, prev_specs, cfg)
     out = postprocess(mod, windowed, cfg)
-    out = crop_center(out, geom)
+    out = jnp.moveaxis(crop_center(out, geom), -3, -1)
     # Frame 0 passes through unmodified (`MotionMagnificationProcessor.cs:
     # 111-117`).  (Its phase delta is zero, but magnitude reconstruction,
     # windowing and blur would still alter it — replace explicitly.)

@@ -83,11 +83,24 @@ def pyramid_phase_amplify(
     return cur * (pass_sum + amplified_sum * rot)
 
 
+def phase_delta(cur: jnp.ndarray, prev: jnp.ndarray) -> jnp.ndarray:
+    """wrap(arg(prev) - arg(cur)) in one atan2: arg(prev * conj(cur)).
+
+    atan2 of the product is already wrapped to [-pi, pi] and equals the
+    reference's two-atan2-plus-while-loop form
+    (`PhaseDifferenceComputeShader.compute:63-71,152-156`) everywhere except
+    fp-rounding at the ±pi knife edge.
+    """
+    return jnp.angle(prev * jnp.conj(cur))
+
+
 def pyramid_phase_amplify_procedural(
     cur: jnp.ndarray,
     prev: jnp.ndarray,
     cfg,
     delta_override: Optional[jnp.ndarray] = None,
+    layout: str = "centered",
+    full_pad_w: Optional[int] = None,
 ) -> jnp.ndarray:
     """The production fused pass: identical math to
     `pyramid_phase_amplify`, but mask values are computed per-pixel from the
@@ -101,17 +114,18 @@ def pyramid_phase_amplify_procedural(
     """
     from pbmm_tpu.pyramid.filters import procedural_mask_planes
 
-    pad_h, pad_w = cur.shape[-2:]
+    pad_h = cur.shape[-2]
+    pad_w = full_pad_w if layout == "rfft" else cur.shape[-1]
     cur_mag = jnp.abs(cur)
     prev_mag = jnp.abs(prev)
-    delta = wrap_phase(jnp.angle(prev) - jnp.angle(cur))
+    delta = phase_delta(cur, prev)
     if delta_override is not None:
         delta = delta_override
 
     tau = cfg.magnitude_threshold
-    total = jnp.zeros((pad_h, pad_w), jnp.float32)
+    total = jnp.zeros(cur.shape[-2:], jnp.float32)
     amped = jnp.zeros_like(cur_mag)
-    for m, amplified in procedural_mask_planes(pad_h, pad_w, cfg):
+    for m, amplified in procedural_mask_planes(pad_h, pad_w, cfg, layout):
         total = total + m
         if amplified:
             gate = (cur_mag * m >= tau) & (prev_mag * m >= tau)

@@ -59,13 +59,15 @@ def _weight_map_np(
     return w.astype(np.float32)
 
 
-def bandpass_weight_map_jnp(pad_h: int, pad_w: int, cfg) -> jnp.ndarray:
+def bandpass_weight_map_jnp(pad_h: int, pad_w: int, cfg,
+                            layout: str = "centered") -> jnp.ndarray:
     """Procedural (on-device, constant-free) form of `bandpass_weight_map`;
     same math, computed from iota so it fuses into the phase pass instead of
-    shipping/reading a (H, W) constant."""
-    fy = jnp.arange(pad_h, dtype=jnp.float32) / pad_h - 0.5
-    fx = jnp.arange(pad_w, dtype=jnp.float32) / pad_w - 0.5
-    f = jnp.minimum(jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2) / 0.707, 1.0)
+    shipping/reading a (H, W) constant.  `layout="rfft"` evaluates the same
+    radial weight on the natural half-spectrum grid."""
+    from pbmm_tpu.pyramid.filters import freq_grid_jnp
+
+    f = jnp.minimum(freq_grid_jnp(pad_h, pad_w, layout) / 0.707, 1.0)
     if not cfg.apply_bandpass:
         return jnp.ones_like(f)
     steep = cfg.filter_steepness
@@ -136,10 +138,12 @@ def standard_phase_amplify(
     computed but *not applied* by the reference (`:169,175-178`); we apply it
     only behind `apply_magnitude_scale`.
     """
+    from pbmm_tpu.phase.amplify import phase_delta
+
     cur_mag = jnp.abs(cur)
     prev_mag = jnp.abs(prev)
     gate = (cur_mag < magnitude_threshold) | (prev_mag < magnitude_threshold)
-    delta = wrap_phase(jnp.angle(prev) - jnp.angle(cur))
+    delta = phase_delta(cur, prev)
     if delta_override is not None:
         delta = delta_override
     modified = cur * jnp.exp(1j * (delta * weight * phase_scale).astype(jnp.complex64))

@@ -35,7 +35,8 @@ def _collapsed(fn, x):
         return fn(x)
     shape = x.shape
     out = fn(x.reshape((-1,) + shape[-2:]))
-    return out.reshape(shape)
+    # Output spatial dims may differ from the input's (rfft half-spectrum).
+    return out.reshape(shape[:-2] + out.shape[-2:])
 
 
 def fft2_centered(y: jnp.ndarray) -> jnp.ndarray:
@@ -57,4 +58,26 @@ def ifft2_centered(spec: jnp.ndarray) -> jnp.ndarray:
     """
     return _collapsed(
         jnp.fft.ifft2, jnp.fft.ifftshift(spec, axes=(-2, -1))
+    )
+
+
+def rfft2_half(y: jnp.ndarray) -> jnp.ndarray:
+    """Real (..., H, W) f32 -> half-spectrum (..., H, W//2 + 1) complex64 in
+    natural (unshifted) rfft layout.
+
+    The half-spectrum pipeline is mathematically identical to the full one
+    for real inputs: the reference's phase modification preserves Hermitian
+    symmetry (magnitude gates are even in k, the wrapped delta is odd, and
+    all masks/weights are radial i.e. even), so the full spectrum is always
+    the Hermitian extension of this half — at ~half the FFT and phase-pass
+    cost.  Exposed behind `MagnifyConfig.use_rfft` (SURVEY.md §7.3 fallback
+    contract: both paths behind one interface, benchmarked honestly).
+    """
+    return _collapsed(jnp.fft.rfft2, y)
+
+
+def irfft2_half(spec: jnp.ndarray, pad_w: int) -> jnp.ndarray:
+    """Half-spectrum -> real spatial-domain result (..., H, W)."""
+    return _collapsed(
+        lambda s: jnp.fft.irfft2(s, s=(s.shape[-2], pad_w)), spec
     )

@@ -92,7 +92,11 @@ def debug_frame_view(
     spectrum view(s), cropped back to frame size.  Both flags set => split
     screen."""
     geom = _geometry(frame_rgb.shape, cfg)
-    spec, _ = preprocess(frame_rgb, cfg)
+    # Debug views render the DC-centered full spectrum regardless of the
+    # production spectral path.
+    spec, _ = preprocess(
+        frame_rgb, cfg.replace(use_rfft=False, fft_backend="xla")
+    )
     spec0 = spec[..., 0, :, :]
     if show_magnitude and show_phase:
         img = split_screen(magnitude_view(spec0), phase_view(spec0))
@@ -100,5 +104,5 @@ def debug_frame_view(
         img = phase_view(spec0)
     else:
         img = magnitude_view(spec0)
-    rgb = jnp.repeat(img[..., None], 3, axis=-1)
-    return crop_center(rgb, geom)
+    img = crop_center(img, geom)
+    return jnp.repeat(img[..., None], 3, axis=-1)

@@ -32,9 +32,16 @@ def trace(logdir: str):
 
 def _sync(x):
     """Force completion robustly (block_until_ready can return early on
-    tunneled dev runtimes); fetches one element."""
+    tunneled dev runtimes); fetches one element.  Complex leaves are
+    real-cast first — complex64 host transfers are unimplemented on some
+    TPU runtimes."""
+    import jax.numpy as jnp
+
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf.ravel()[0])
+    v = leaf.ravel()[0]
+    if jnp.iscomplexobj(v):
+        v = jnp.real(v)
+    np.asarray(v)
 
 
 def timeit(fn: Callable, *args, reps: int = 3, warmup: int = 1) -> float:

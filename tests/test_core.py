@@ -50,12 +50,13 @@ class TestGeometry:
         assert (g.pad_h, g.pad_w) == (1024 * 2, 2048)
 
     def test_pad_crop_roundtrip(self, rng):
-        img = rng.random((30, 50, 3)).astype(np.float32)
+        # Channels-first internally: spatial dims are the last two.
+        img = rng.random((3, 30, 50)).astype(np.float32)
         g = geometry_for(30, 50)
         padded = pad_center(jnp.asarray(img), g)
-        assert padded.shape == (64, 64, 3)
+        assert padded.shape == (3, 64, 64)
         # border is black
-        assert float(jnp.abs(padded[0]).max()) == 0.0
+        assert float(jnp.abs(padded[:, 0]).max()) == 0.0
         back = np.asarray(crop_center(padded, g))
         np.testing.assert_array_equal(back, img)
 

@@ -72,8 +72,9 @@ def test_pipeline_with_pallas_flag(rng):
     from pbmm_tpu.oracle.synthetic import oscillating_bar
 
     frames = oscillating_bar(size=64, frames=3)
-    base = MagnifyConfig()
-    pall = MagnifyConfig(use_pallas=True, interpret_pallas=True)
+    base = MagnifyConfig(use_rfft=False)
+    pall = MagnifyConfig(use_pallas=True, interpret_pallas=True,
+                         use_rfft=False)
     a = np.asarray(magnify_frame_pair(frames[1], frames[2], base))
     b = np.asarray(magnify_frame_pair(frames[1], frames[2], pall))
     assert np.abs(a - b).max() < 1e-4

@@ -124,9 +124,52 @@ class TestExtensions:
         )
         out, st = magnify_video(FRAMES, cfg)
         assert np.isfinite(np.asarray(out)).all()
-        assert st.temporal.lp_fast.shape == (1, 128, 128)
+        # half-spectrum IIR state in the default rfft path
+        assert st.temporal.lp_fast.shape == (1, 128, 65)
 
     def test_window_compensation(self):
         cfg = MagnifyConfig(compensate_window=True)
         out = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg))
         assert np.isfinite(out).all()
+
+
+class TestRfftPath:
+    def test_rfft_equals_full_fft(self):
+        # The half-spectrum path must match the full-spectrum chain
+        # (Hermitian-symmetry argument in spectral/fft.py docstrings).
+        out_r = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2],
+                                              MagnifyConfig(use_rfft=True)))
+        out_f = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2],
+                                              MagnifyConfig(use_rfft=False)))
+        assert psnr(out_r, out_f) > 70.0
+
+    def test_rfft_standard_mode_equals_full(self):
+        cfg_r = MagnifyConfig(mode="standard", use_rfft=True)
+        cfg_f = MagnifyConfig(mode="standard", use_rfft=False)
+        out_r = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg_r))
+        out_f = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg_f))
+        assert psnr(out_r, out_f) > 70.0
+
+    def test_rfft_steerable_equals_full(self):
+        cfg_r = MagnifyConfig(orientations=4, use_rfft=True)
+        cfg_f = MagnifyConfig(orientations=4, use_rfft=False)
+        out_r = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg_r))
+        out_f = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg_f))
+        assert psnr(out_r, out_f) > 70.0
+
+    def test_rfft_video_iir_equals_full(self):
+        from pbmm_tpu.config import TemporalConfig
+
+        tc = TemporalConfig(mode="iir_bandpass", low_hz=0.5, high_hz=5.0,
+                            fps=30.0)
+        out_r, _ = magnify_video(FRAMES, MagnifyConfig(use_rfft=True,
+                                                       temporal=tc))
+        out_f, _ = magnify_video(FRAMES, MagnifyConfig(use_rfft=False,
+                                                       temporal=tc))
+        assert psnr(np.asarray(out_r), np.asarray(out_f)) > 70.0
+
+    def test_pallas_with_rfft_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="use_rfft"):
+            MagnifyConfig(use_pallas=True)
