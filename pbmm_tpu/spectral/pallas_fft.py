@@ -152,8 +152,10 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im):
 # Kernels: one axis per kernel, all stages fused, one HBM round trip
 # ---------------------------------------------------------------------------
 
-_LANE_BLOCK = 256  # columns per grid step for the sublane-axis kernel
-_ROW_BLOCK = 256  # rows per grid step for the lane-axis kernel
+# Block sizes chosen so ~10 live f32 temporaries per stage fit the ~16 MB
+# scoped VMEM budget (the 11 unrolled stages keep u/v/butterfly temps live).
+_LANE_BLOCK = 128  # columns per grid step for the sublane-axis kernel
+_ROW_BLOCK = 64  # rows per grid step for the lane-axis kernel
 
 
 def _rows_kernel(inverse: bool, n: int, scale: float):
@@ -225,6 +227,9 @@ def _fft_axis(re, im, axis: int, inverse: bool, scale: float,
         out_shape=(
             jax.ShapeDtypeStruct(re.shape, jnp.float32),
             jax.ShapeDtypeStruct(re.shape, jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(re, im, twr, twi)
