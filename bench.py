@@ -39,14 +39,17 @@ def main():
     log(f"devices: {jax.devices()}")
 
     h, w, t = 1080, 1920, 8
-    reps = 4
+    reps = 16
     rng = np.random.default_rng(0)
     base = rng.random((h, w, 3)).astype(np.float32)
     # Slightly shifting content so phase deltas are realistic (gates open).
     frames = np.stack(
         [np.roll(base, shift=i, axis=1) * (0.95 + 0.01 * i) for i in range(t)]
     )
-    cfg = MagnifyConfig()  # reference defaults: pyramid, L=5, scale=10
+    # Reference defaults (pyramid, L=5, scale=10) in the fastest-known TPU
+    # configuration (Pallas fused-stage FFT backend; PSNR > 140 dB vs the
+    # default XLA path on hardware).
+    cfg = MagnifyConfig().tuned_for_tpu()
 
     frames_dev = jax.device_put(frames)
 

@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-frames", type=int, default=8)
     p.add_argument("--stats", action="store_true",
                    help="print a JSON line of timing/shape stats to stderr")
+    p.add_argument("--fast", action="store_true",
+                   help="use the fastest-known TPU configuration "
+                        "(Pallas FFT backend); PSNR-equivalent output")
     return p
 
 
@@ -141,6 +144,8 @@ def main(argv=None) -> int:
         return 2
 
     cfg = config_from_args(args)
+    if args.fast:
+        cfg = cfg.tuned_for_tpu()
     t0 = time.perf_counter()
 
     if args.debug_view:

@@ -167,6 +167,15 @@ class MagnifyConfig:
                 "spectrum in bit-reversed layout)"
             )
 
+    def tuned_for_tpu(self) -> "MagnifyConfig":
+        """Fastest-known equivalent configuration for real TPU hardware:
+        the Pallas fused-stage FFT backend (2x XLA's FFT at 2048^2).
+        Output is PSNR-equivalent (>70 dB) to the default path; tests
+        assert both."""
+        return dataclasses.replace(
+            self, fft_backend="pallas", use_rfft=False
+        )
+
     @staticmethod
     def scene_defaults() -> "MagnifyConfig":
         """The demo scene's serialized overrides (`SampleScene.unity:709-719`)."""

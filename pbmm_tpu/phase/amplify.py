@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +95,48 @@ def phase_delta(cur: jnp.ndarray, prev: jnp.ndarray) -> jnp.ndarray:
     return jnp.angle(prev * jnp.conj(cur))
 
 
+def _unit_rotation(cur: jnp.ndarray, prev: jnp.ndarray) -> jnp.ndarray:
+    """e^{i*delta} without trig: normalize prev * conj(cur) to unit modulus.
+
+    Zero-modulus bins produce 0 (not NaN); they are always magnitude-gated
+    to pass-through, so the value is never consumed.
+    """
+    r = prev * jnp.conj(cur)
+    m2 = jnp.real(r) ** 2 + jnp.imag(r) ** 2
+    inv = jnp.where(m2 > 0, jax.lax.rsqrt(jnp.maximum(m2, 1e-38)), 0.0)
+    return r * inv.astype(jnp.complex64)
+
+
+def _integer_power(z: jnp.ndarray, n: int) -> jnp.ndarray:
+    """z**n by square-and-multiply (n >= 0, static)."""
+    result = None
+    base = z
+    while n > 0:
+        if n & 1:
+            result = base if result is None else result * base
+        base = base * base
+        n >>= 1
+    return result if result is not None else jnp.ones_like(z)
+
+
+def rotation_term(
+    cur: jnp.ndarray,
+    prev: jnp.ndarray,
+    phase_scale: float,
+    delta_override: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """exp(1j * phase_scale * wrap(arg(prev) - arg(cur))) — trig-free when
+    phase_scale is a (small) integer: e^{i*s*(delta - 2*pi*k)} = e^{i*s*delta}
+    for integer s, so (prev*conj(cur)/|.|)^s is exact, replacing
+    atan2 + sincos (the VPU's expensive transcendentals) with one rsqrt and
+    a handful of complex multiplies."""
+    s = float(phase_scale)
+    if delta_override is None and s.is_integer() and 0 <= s <= 64:
+        return _integer_power(_unit_rotation(cur, prev), int(s))
+    delta = phase_delta(cur, prev) if delta_override is None else delta_override
+    return jnp.exp(1j * (s * delta).astype(jnp.complex64))
+
+
 def pyramid_phase_amplify_procedural(
     cur: jnp.ndarray,
     prev: jnp.ndarray,
@@ -118,9 +161,6 @@ def pyramid_phase_amplify_procedural(
     pad_w = full_pad_w if layout == "rfft" else cur.shape[-1]
     cur_mag = jnp.abs(cur)
     prev_mag = jnp.abs(prev)
-    delta = phase_delta(cur, prev)
-    if delta_override is not None:
-        delta = delta_override
 
     tau = cfg.magnitude_threshold
     total = jnp.zeros(cur.shape[-2:], jnp.float32)
@@ -131,7 +171,7 @@ def pyramid_phase_amplify_procedural(
             gate = (cur_mag * m >= tau) & (prev_mag * m >= tau)
             amped = amped + jnp.where(gate, m, 0.0)
 
-    rot = jnp.exp(1j * (cfg.phase_scale * delta).astype(jnp.complex64))
+    rot = rotation_term(cur, prev, cfg.phase_scale, delta_override)
     return cur * ((total - amped) + amped * rot)
 
 

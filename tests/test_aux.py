@@ -56,3 +56,22 @@ def test_debug_mode_runs_pipeline_interpreted():
             magnify_frame_pair(frames[0], frames[1], MagnifyConfig())
         )
     assert np.isfinite(out).all()
+
+
+def test_parity_tool_passes():
+    from pbmm_tpu.tools.parity import run_parity
+
+    results = run_parity(size=64, frames=4,
+                         which="pyramid_defaults,standard")
+    assert len(results) == 2
+    assert all(r["pass_35db"] for r in results)
+    assert all(r["psnr_db"] > 55 for r in results)
+
+
+def test_tuned_for_tpu_config():
+    from pbmm_tpu.config import MagnifyConfig
+
+    cfg = MagnifyConfig().tuned_for_tpu()
+    assert cfg.fft_backend == "pallas" and not cfg.use_rfft
+    # quality-affecting params unchanged
+    assert cfg.phase_scale == 10.0 and cfg.pyramid_levels == 5

@@ -175,3 +175,39 @@ class TestProcedural:
         a = np.asarray(bandpass_weight_map(64, 64, cfg))
         b = np.asarray(bandpass_weight_map_jnp(64, 64, cfg))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestRotationTerm:
+    def test_integer_power_equals_trig(self, rng):
+        from pbmm_tpu.phase.amplify import phase_delta, rotation_term
+
+        cur, prev = _random_spectrum_pair(rng)
+        # integer path
+        fast = np.asarray(rotation_term(cur, prev, 10.0))
+        # explicit trig path
+        delta = phase_delta(cur, prev)
+        slow = np.asarray(jnp.exp(1j * (10.0 * delta).astype(jnp.complex64)))
+        assert np.abs(fast - slow).max() < 1e-4
+
+    def test_non_integer_uses_trig(self, rng):
+        from pbmm_tpu.phase.amplify import phase_delta, rotation_term
+
+        cur, prev = _random_spectrum_pair(rng)
+        got = np.asarray(rotation_term(cur, prev, 2.5))
+        delta = np.asarray(phase_delta(cur, prev))
+        want = np.exp(1j * 2.5 * delta)
+        assert np.abs(got - want).max() < 1e-5
+
+    def test_zero_modulus_bins_no_nan(self):
+        from pbmm_tpu.phase.amplify import rotation_term
+
+        z = jnp.zeros((4, 4), jnp.complex64)
+        out = np.asarray(rotation_term(z, z, 10.0))
+        assert np.isfinite(out).all()
+
+    def test_scale_one_is_unit_rotation(self, rng):
+        from pbmm_tpu.phase.amplify import rotation_term
+
+        cur, prev = _random_spectrum_pair(rng)
+        rot = np.asarray(rotation_term(cur, prev, 1.0))
+        np.testing.assert_allclose(np.abs(rot), 1.0, atol=1e-5)
