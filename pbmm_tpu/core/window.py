@@ -56,6 +56,18 @@ def geometry_for(in_h: int, in_w: int, pad_mode: str = "square_pow2") -> Geometr
     return Geometry(in_h, in_w, pad_h, pad_w, (pad_h - in_h) // 2, (pad_w - in_w) // 2)
 
 
+def hann2d_region(geom: Geometry) -> jnp.ndarray:
+    """The padded-frame Hann window restricted to the crop region,
+    (in_h, in_w) f32 — lets the pipeline window the chroma planes at input
+    resolution instead of materializing full padded chroma planes
+    (at 1080p that is ~350 MB/call of avoided HBM traffic)."""
+    iy = (jnp.arange(geom.in_h, dtype=jnp.float32) + geom.y0 + 0.5) / geom.pad_h
+    ix = (jnp.arange(geom.in_w, dtype=jnp.float32) + geom.x0 + 0.5) / geom.pad_w
+    wy = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * iy))
+    wx = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * ix))
+    return wy[:, None] * wx[None, :]
+
+
 def hann2d(pad_h: int, pad_w: int) -> jnp.ndarray:
     """2D separable Hann window over the padded frame, (pad_h, pad_w) f32.
 

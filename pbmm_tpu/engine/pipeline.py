@@ -31,6 +31,7 @@ from pbmm_tpu.core.window import (
     gaussian_blur5,
     geometry_for,
     hann2d,
+    hann2d_region,
     pad_center,
 )
 from pbmm_tpu.phase.amplify import (
@@ -58,27 +59,31 @@ def _geometry(frame_shape, cfg: MagnifyConfig) -> Geometry:
 def preprocess(
     frame_rgb: jnp.ndarray, cfg: MagnifyConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(..., H, W, 3) RGB -> (spectra (..., C, Hp, Wp) complex64, windowed
-    YIQ (..., 3, Hp, Wp) f32, channels-first).  Leading batch dims
-    (frames/videos) batch the FFT directly — no vmap — so XLA sees one
+    """(..., H, W, 3) RGB -> (spectra (..., C, Hp, Wp) complex64, YIQ at
+    *input* resolution (..., 3, H, W) f32, channels-first).  Leading batch
+    dims (frames/videos) batch the FFT directly — no vmap — so XLA sees one
     large transform.  Internals are channels-first so the minor (TPU-tiled)
     dims are the large spatial ones.
 
     Mirrors Blit(RGBToYIQ) -> PadTexture (+Hann) -> ExtractYChannel ->
     PerformFFT (`MotionMagnificationProcessor.cs:147-155`), with C = 1
     channel (Y) in reference mode or 3 (Y, I, Q) when `chroma="rgb"`.
+    Only FFT-bound channels are padded/windowed at full resolution; the
+    chroma planes the reference carries through its padded textures are
+    reconstructed on the crop region in `postprocess` (identical values —
+    the pad border is zeros and the crop discards it).
     """
     with jax.named_scope("pbmm.preprocess"):
         geom = _geometry(frame_rgb.shape, cfg)
         rgb_cf = jnp.moveaxis(frame_rgb.astype(jnp.float32), -1, -3)
         yiq = rgb_to_yiq(rgb_cf, axis=-3)  # (..., 3, H, W)
-        padded = pad_center(yiq, geom)  # (..., 3, Hp, Wp)
-        win = hann2d(geom.pad_h, geom.pad_w)
-        windowed = padded * win
         if cfg.chroma == "rgb":
-            chans = windowed
+            chans_small = yiq
         else:
-            chans = windowed[..., 0:1, :, :]  # (..., 1, Hp, Wp) — Y plane
+            chans_small = yiq[..., 0:1, :, :]  # Y plane only
+        padded = pad_center(chans_small, geom)
+        win = hann2d(geom.pad_h, geom.pad_w)
+        chans = padded * win
         with jax.named_scope("pbmm.fft"):
             if cfg.fft_backend == "pallas":
                 shape = chans.shape
@@ -89,7 +94,7 @@ def preprocess(
                 spec = rfft2_half(chans)
             else:
                 spec = fft2_centered(chans)
-        return spec, windowed
+        return spec, yiq
 
 
 def amplify_spectrum(
@@ -167,19 +172,23 @@ def _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state):
 
 def postprocess(
     mod_spec: jnp.ndarray,
-    windowed_yiq: jnp.ndarray,
+    yiq_small: jnp.ndarray,
     cfg: MagnifyConfig,
 ) -> jnp.ndarray:
-    """(..., C, Hp, Wp) modified spectra + (..., 3, Hp, Wp) windowed YIQ ->
-    (..., 3, Hp, Wp) RGB (channels-first, padded; caller crops and moves the
-    channel axis back).  Batch dims flow through.
+    """(..., C, Hp, Wp) modified spectra + (..., 3, H, W) input-resolution
+    YIQ -> (..., 3, H, W) RGB (channels-first, already cropped).  Batch
+    dims flow through.
 
     Mirrors PerformIFFT (magnitude reconstruction, `FFT.compute:143-150`) ->
     ApplyAntiAliasing -> CombineYIQChannels -> YIQToRGB (saturate) ->
-    CropTexture (`MotionMagnificationProcessor.cs:196-205`).
+    CropTexture (`MotionMagnificationProcessor.cs:196-205`).  The blur runs
+    at padded resolution (its taps near the crop edge read outside the
+    crop, as in the reference); the windowed chroma combine happens on the
+    crop region directly (identical values — see `preprocess`).
     """
-    pad_h = mod_spec.shape[-2]
-    pad_w = windowed_yiq.shape[-1]
+    h, w = yiq_small.shape[-2:]
+    geom = geometry_for(h, w, cfg.pad_mode)
+    pad_w = geom.pad_w
     with jax.named_scope("pbmm.ifft"):
         if cfg.fft_backend == "pallas":
             shape = mod_spec.shape
@@ -202,19 +211,21 @@ def postprocess(
         chans = jnp.real(rec) if jnp.iscomplexobj(rec) else rec
     with jax.named_scope("pbmm.blur"):
         chans = gaussian_blur5(chans, cfg.blur_size)
+    chans = crop_center(chans, geom)  # (..., C, H, W)
 
+    win_c = hann2d_region(geom)
     if cfg.chroma == "rgb":
         out_yiq = chans  # all three planes processed
     else:
         # Processed Y + the *windowed* original I/Q
         # (`CombineYIQChannels.shader:44-57` reads the windowed padded YIQ).
         out_yiq = jnp.concatenate(
-            [chans[..., 0:1, :, :], windowed_yiq[..., 1:, :, :]], axis=-3
+            [chans[..., 0:1, :, :], yiq_small[..., 1:, :, :] * win_c],
+            axis=-3,
         )
 
     if cfg.compensate_window:
-        win = hann2d(pad_h, pad_w)
-        out_yiq = out_yiq / jnp.maximum(win, 1e-3)
+        out_yiq = out_yiq / jnp.maximum(win_c, 1e-3)
 
     return yiq_to_rgb(out_yiq, saturate=True, axis=-3)
 
@@ -230,9 +241,7 @@ def magnify_frame_pair(
       prev_rgb, cur_rgb: (H, W, 3) f32 RGB in [0, 1].
     Returns (H, W, 3) f32 RGB.
     """
-    geom = _geometry(cur_rgb.shape, cfg)
-    cur_spec, cur_windowed = preprocess(cur_rgb, cfg)
+    cur_spec, cur_yiq = preprocess(cur_rgb, cfg)
     prev_spec, _ = preprocess(prev_rgb, cfg)
     mod_spec, _ = amplify_spectrum(cur_spec, prev_spec, cfg)
-    rgb_padded = postprocess(mod_spec, cur_windowed, cfg)
-    return jnp.moveaxis(crop_center(rgb_padded, geom), -3, -1)
+    return jnp.moveaxis(postprocess(mod_spec, cur_yiq, cfg), -3, -1)

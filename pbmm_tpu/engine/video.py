@@ -22,9 +22,7 @@ import jax.numpy as jnp
 
 from pbmm_tpu.config import MagnifyConfig
 from pbmm_tpu.core.complexop import combine
-from pbmm_tpu.core.window import crop_center
 from pbmm_tpu.engine.pipeline import (
-    _geometry,
     amplify_spectrum,
     postprocess,
     preprocess,
@@ -59,8 +57,7 @@ def video_step(
     state: VideoState, frame: jnp.ndarray, cfg: MagnifyConfig
 ) -> Tuple[VideoState, jnp.ndarray]:
     """Process one frame; returns (new_state, magnified RGB frame)."""
-    geom = _geometry(frame.shape, cfg)
-    cur_spec, cur_windowed = preprocess(frame, cfg)
+    cur_spec, cur_yiq = preprocess(frame, cfg)
 
     if cfg.cache_prev_spectrum:
         prev_spec = combine(state.prev_spec_re, state.prev_spec_im)
@@ -72,9 +69,7 @@ def video_step(
     mod_spec, new_temporal = amplify_spectrum(
         cur_spec, prev_spec, cfg, state.temporal
     )
-    out = jnp.moveaxis(
-        crop_center(postprocess(mod_spec, cur_windowed, cfg), geom), -3, -1
-    )
+    out = jnp.moveaxis(postprocess(mod_spec, cur_yiq, cfg), -3, -1)
 
     if cfg.cache_prev_spectrum:
         sre, sim = jnp.real(cur_spec), jnp.imag(cur_spec)

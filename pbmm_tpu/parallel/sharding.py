@@ -27,9 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pbmm_tpu.config import MagnifyConfig
-from pbmm_tpu.core.window import crop_center
 from pbmm_tpu.engine.pipeline import (
-    _geometry,
     amplify_spectrum,
     postprocess,
     preprocess,
@@ -43,18 +41,15 @@ def _magnify_clip_batched_impl(
     if cfg.temporal.mode != "two_frame":
         raise ValueError("batched path requires the two-frame temporal mode; "
                          "use engine.video.magnify_video for IIR modes")
-    geom = _geometry(frames.shape, cfg)
-
     # All stages are natively rank-generic: the frame axis batches the FFTs
     # directly (one large transform, not vmap-of-small-transforms).
-    specs, windowed = preprocess(frames, cfg)
+    specs, yiqs = preprocess(frames, cfg)
     # 1-frame temporal halo: prev[t] = spec[t-1]; frame 0 pairs with itself
     # (its delta is 0 => pass-through, matching first-frame bootstrap).
     prev_specs = jnp.concatenate([specs[:1], specs[:-1]], axis=0)
 
     mod, _ = amplify_spectrum(specs, prev_specs, cfg)
-    out = postprocess(mod, windowed, cfg)
-    out = jnp.moveaxis(crop_center(out, geom), -3, -1)
+    out = jnp.moveaxis(postprocess(mod, yiqs, cfg), -3, -1)
     # Frame 0 passes through unmodified (`MotionMagnificationProcessor.cs:
     # 111-117`).  (Its phase delta is zero, but magnitude reconstruction,
     # windowing and blur would still alter it — replace explicitly.)

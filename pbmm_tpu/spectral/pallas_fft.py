@@ -106,7 +106,9 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im):
 
     tw_re/tw_im: (stages, n) f32 refs-values; broadcast along the other
     axis.  Forward = DIF (natural -> bitrev), inverse = DIT (bitrev ->
-    natural, unnormalized).
+    natural, unnormalized).  `im=None` marks a real input: the first
+    (forward) stage is specialized to skip all imaginary arithmetic, so the
+    caller never materializes a zero plane in HBM.
     """
     stages = n.bit_length() - 1
     pos = jax.lax.broadcasted_iota(jnp.int32, re.shape, axis)
@@ -115,6 +117,23 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im):
         ds = ds[::-1]
     for row, d in enumerate(ds):
         top = (pos & d) == 0
+        if im is None:
+            # Real-input first stage (forward DIF only): x, u, v all real.
+            assert not inverse and row == 0
+            if axis == 0:
+                tw_r = tw_re[row][:, None]
+                tw_i = tw_im[row][:, None]
+            else:
+                tw_r = tw_re[row][None, :]
+                tw_i = tw_im[row][None, :]
+            u_re = _roll(re, -d, axis)
+            v_re = _roll(re, d, axis)
+            b_re = v_re - re
+            re, im = (
+                jnp.where(top, re + u_re, b_re * tw_r),
+                jnp.where(top, 0.0, b_re * tw_i),
+            )
+            continue
         if axis == 0:
             tw_r = tw_re[row][:, None]
             tw_i = tw_im[row][:, None]
@@ -158,71 +177,60 @@ _LANE_BLOCK = 128  # columns per grid step for the sublane-axis kernel
 _ROW_BLOCK = 64  # rows per grid step for the lane-axis kernel
 
 
-def _rows_kernel(inverse: bool, n: int, scale: float):
-    def kernel(re_ref, im_ref, twr_ref, twi_ref, ore_ref, oim_ref):
-        re, im = _fft_stages(
-            re_ref[:], im_ref[:], n, 1, inverse, twr_ref, twi_ref
-        )
-        if scale != 1.0:
-            re = re * scale
-            im = im * scale
-        ore_ref[:] = re
-        oim_ref[:] = im
-
-    return kernel
-
-
-def _cols_kernel(inverse: bool, n: int, scale: float):
-    def kernel(re_ref, im_ref, twr_ref, twi_ref, ore_ref, oim_ref):
-        re, im = _fft_stages(
-            re_ref[:], im_ref[:], n, 0, inverse, twr_ref, twi_ref
-        )
-        if scale != 1.0:
-            re = re * scale
-            im = im * scale
-        ore_ref[:] = re
-        oim_ref[:] = im
-
-    return kernel
-
-
 @functools.partial(
     jax.jit, static_argnames=("axis", "inverse", "scale", "interpret")
 )
 def _fft_axis(re, im, axis: int, inverse: bool, scale: float,
               interpret: bool):
-    """(B, H, W) re/im -> same shape, FFT'd along `axis` (1=H, 2=W)."""
+    """(B, H, W) re/im -> same shape, FFT'd along `axis` (1=H, 2=W).
+
+    `im=None` = real input (forward only): the zero imaginary plane is
+    never materialized in HBM; the first stage is specialized.
+    """
     b, h, w = re.shape
     n = h if axis == 1 else w
     twr_np, twi_np = _dif_twiddles(n, inverse)
     twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
     stages = twr_np.shape[0]
+    real_input = im is None
+    kaxis = 1 if axis == 2 else 0
 
     if axis == 2:
         block = (1, min(_ROW_BLOCK, h), w)
         grid = (b, pl.cdiv(h, block[1]))
         index = lambda i, j: (i, j, 0)
-        kern = _rows_kernel(inverse, n, scale)
     else:
         block = (1, h, min(_LANE_BLOCK, w))
         grid = (b, pl.cdiv(w, block[2]))
         index = lambda i, j: (i, 0, j)
-        kern = _cols_kernel(inverse, n, scale)
 
-    def kernel(re_ref, im_ref, twr_ref, twi_ref, ore_ref, oim_ref):
-        kern(
-            re_ref.at[0], im_ref.at[0], twr_ref, twi_ref,
-            ore_ref.at[0], oim_ref.at[0],
-        )
+    def kernel(*refs):
+        if real_input:
+            re_ref, twr_ref, twi_ref, ore_ref, oim_ref = refs
+            rr, ii = _fft_stages(
+                re_ref[0], None, n, kaxis, inverse, twr_ref, twi_ref
+            )
+        else:
+            re_ref, im_ref, twr_ref, twi_ref, ore_ref, oim_ref = refs
+            rr, ii = _fft_stages(
+                re_ref[0], im_ref[0], n, kaxis, inverse, twr_ref, twi_ref
+            )
+        if scale != 1.0:
+            rr = rr * scale
+            ii = ii * scale
+        ore_ref[0] = rr
+        oim_ref[0] = ii
 
     spec = pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
     tw_spec = pl.BlockSpec(
         (stages, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [spec] + ([] if real_input else [spec]) + [tw_spec, tw_spec]
+    inputs = [re] + ([] if real_input else [im]) + [twr, twi]
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, spec, tw_spec, tw_spec],
+        in_specs=in_specs,
         out_specs=(spec, spec),
         out_shape=(
             jax.ShapeDtypeStruct(re.shape, jnp.float32),
@@ -232,7 +240,7 @@ def _fft_axis(re, im, axis: int, inverse: bool, scale: float,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(re, im, twr, twi)
+    )(*inputs)
     return out_re, out_im
 
 
@@ -245,8 +253,7 @@ def fft2_bitrev(y: jnp.ndarray, interpret: bool = False):
     """Real (B, H, W) f32 -> (re, im) spectrum with both axes in
     bit-reversed frequency order (the pipeline's working layout)."""
     re = y.astype(jnp.float32)
-    im = jnp.zeros_like(re)
-    re, im = _fft_axis(re, im, 2, False, 1.0, interpret)
+    re, im = _fft_axis(re, None, 2, False, 1.0, interpret)
     re, im = _fft_axis(re, im, 1, False, 1.0, interpret)
     return re, im
 
