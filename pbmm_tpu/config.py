@@ -139,6 +139,11 @@ class MagnifyConfig:
     #   extension of the half — at ~half the FFT + phase-pass cost.  Set
     #   False for the literal full-spectrum chain.
     use_pallas: bool = False  # fused band/phase pass as a Pallas TPU kernel
+    use_fused_spectral: bool = False  # fully-fused window->FFT / phase->IFFT
+    #   kernels (spectral/fused.py).  Measured slightly slower than the
+    #   unfused Pallas path at 2048^2 (the phase+IFFT kernel's ~16 MB VMEM
+    #   live set defeats double-buffering) — kept opt-in, honest numbers in
+    #   README.
     interpret_pallas: bool = False  # Pallas interpret mode (CPU testing)
 
     def __post_init__(self):

@@ -34,6 +34,64 @@ from pbmm_tpu.engine.pipeline import (
 )
 
 
+def _magnify_clip_fused(frames: jnp.ndarray, cfg: MagnifyConfig) -> jnp.ndarray:
+    """Fully-fused Pallas spectral path (see `spectral/fused.py`): three
+    kernels carry window->FFT, phase->col-IFFT, row-IFFT->|z| without
+    intermediate HBM round trips."""
+    from pbmm_tpu.core.color import rgb_to_yiq, yiq_to_rgb
+    from pbmm_tpu.core.window import (
+        crop_center,
+        gaussian_blur5,
+        geometry_for,
+        hann2d_region,
+        pad_center,
+    )
+    from pbmm_tpu.spectral.fused import (
+        phase_col_ifft,
+        row_ifft_magnitude,
+        windowed_row_fft,
+    )
+    from pbmm_tpu.spectral.pallas_fft import _fft_axis
+
+    t, h, w, _ = frames.shape
+    geom = geometry_for(h, w, cfg.pad_mode)
+    yiq = rgb_to_yiq(jnp.moveaxis(frames.astype(jnp.float32), -1, -3),
+                     axis=-3)  # (T, 3, H, W)
+    if cfg.chroma == "rgb":
+        chans = yiq
+    else:
+        chans = yiq[:, 0:1]
+    c = chans.shape[1]
+    y_pad = pad_center(chans, geom).reshape(t * c, geom.pad_h, geom.pad_w)
+
+    re, im = windowed_row_fft(y_pad, interpret=cfg.interpret_pallas)
+    re, im = _fft_axis(re, im, 1, False, 1.0, cfg.interpret_pallas)
+
+    # 1-frame halo: prev of (frame t, chan k) is (frame t-1, chan k).
+    prev_re = jnp.concatenate([re[:c], re[:-c]], axis=0)
+    prev_im = jnp.concatenate([im[:c], im[:-c]], axis=0)
+
+    rre, rim = phase_col_ifft(re, im, prev_re, prev_im, cfg,
+                              interpret=cfg.interpret_pallas)
+    rec = row_ifft_magnitude(
+        rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
+        interpret=cfg.interpret_pallas,
+    )  # (T*C, Hp, Wp) real
+
+    rec = gaussian_blur5(rec, cfg.blur_size)
+    rec = crop_center(rec, geom).reshape(t, c, h, w)
+
+    win_c = hann2d_region(geom)
+    if cfg.chroma == "rgb":
+        out_yiq = rec
+    else:
+        out_yiq = jnp.concatenate([rec, yiq[:, 1:] * win_c], axis=1)
+    if cfg.compensate_window:
+        out_yiq = out_yiq / jnp.maximum(win_c, 1e-3)
+    out = jnp.moveaxis(yiq_to_rgb(out_yiq, saturate=True, axis=-3), -3, -1)
+    return jnp.concatenate([frames[:1].astype(jnp.float32), out[1:]], axis=0)
+
+
 def _magnify_clip_batched_impl(
     frames: jnp.ndarray, cfg: MagnifyConfig
 ) -> jnp.ndarray:
@@ -41,6 +99,10 @@ def _magnify_clip_batched_impl(
     if cfg.temporal.mode != "two_frame":
         raise ValueError("batched path requires the two-frame temporal mode; "
                          "use engine.video.magnify_video for IIR modes")
+    from pbmm_tpu.spectral.fused import fused_eligible
+
+    if fused_eligible(cfg):
+        return _magnify_clip_fused(frames, cfg)
     # All stages are natively rank-generic: the frame axis batches the FFTs
     # directly (one large transform, not vmap-of-small-transforms).
     specs, yiqs = preprocess(frames, cfg)

@@ -1,0 +1,294 @@
+"""Fully-fused spectral pipeline kernels (Pallas, bitrev layout).
+
+Beyond `pallas_fft.py`'s per-axis FFT kernels, this module fuses the
+neighboring elementwise stages into the FFT kernels themselves, removing
+whole HBM round trips from the per-frame hot path:
+
+  forward:  window multiply -> row-FFT   (one kernel; the Hann window is
+            applied to the padded Y block in VMEM before the stages)
+  inverse:  band/phase amplification -> column-IFFT   (one kernel; the
+            fused pyramid pass — procedural masks at bit-reversed
+            frequencies, magnitude gates, trig-free integer rotation —
+            runs on the spectrum block in VMEM, then the DIT stages)
+  inverse2: row-IFFT -> |z| magnitude    (one kernel; only the real
+            magnitude plane is written back)
+
+Eligibility: pyramid mode, two-frame temporal (no delta override), radial
+or steerable masks, magnitude or real reconstruction.  The engine falls
+back to the unfused kernels otherwise (`engine/pipeline.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pbmm_tpu.spectral.pallas_fft import (
+    _LANE_BLOCK,
+    _ROW_BLOCK,
+    _dif_twiddles,
+    _fft_stages,
+    bitrev_freq_axis,
+)
+
+
+def _hann_vec(n: int) -> np.ndarray:
+    i = (np.arange(n, dtype=np.float64) + 0.5) / n
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * i))).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def windowed_row_fft(y: jnp.ndarray, interpret: bool = False):
+    """(B, H, W) padded real Y -> row-axis FFT of (window * y), bitrev cols.
+
+    Fuses `WindowingFunction.shader`'s separable Hann (pixel-center uv)
+    into the first FFT kernel — the windowed plane never exists in HBM.
+    """
+    b, h, w = y.shape
+    twr_np, twi_np = _dif_twiddles(w, False)
+    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    stages = twr_np.shape[0]
+    wy = jnp.asarray(_hann_vec(h))[:, None]  # (H, 1) column
+    wx = jnp.asarray(_hann_vec(w))[None, :]  # (1, W) row
+
+    block_h = min(_ROW_BLOCK, h)
+    grid = (b, pl.cdiv(h, block_h))
+    spec = pl.BlockSpec((1, block_h, w), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    # Window vectors as 2D (H,1)/(1,W) arrays so blocks stay tile-legal
+    # (a (1, block_h) lane slice would violate lane divisibility).
+    wy_spec = pl.BlockSpec((block_h, 1), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    wx_spec = pl.BlockSpec((1, w), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, w), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def kernel(y_ref, wy_ref, wx_ref, twr_ref, twi_ref, ore, oim):
+        yy = y_ref[0] * wy_ref[:] * wx_ref[:]
+        rr, ii = _fft_stages(yy, None, w, 1, False, twr_ref, twi_ref)
+        ore[0] = rr
+        oim[0] = ii
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, wy_spec, wx_spec, tw_spec, tw_spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(y.shape, jnp.float32),
+            jax.ShapeDtypeStruct(y.shape, jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(y, wy, wx, twr, twi)
+
+
+def _mask_params(cfg):
+    """Static per-plane radial-profile parameters: list of
+    (kind, lo, hi, amplified) with kind in {"high","low","band","zero"}."""
+    L = cfg.pyramid_levels
+    lo_f, hi_f = float(cfg.min_frequency), float(cfg.max_frequency)
+    out = []
+    for i in range(L):
+        amp = 0 < i < L - 1
+        if i == 0:
+            out.append(("high", 0.8 * hi_f, hi_f, False))
+        elif i == L - 1:
+            out.append(("low", lo_f, 1.2 * lo_f, False))
+        elif L == 3:
+            out.append(("zero", 0.0, 0.0, False))
+        else:
+            r = (i - 1) / (L - 3)
+            c = lo_f * (hi_f / lo_f) ** (1.0 - r)
+            out.append(("band", 0.5 * c, 1.5 * c, amp))
+    return tuple(out)
+
+
+def _eval_mask(kind, lo, hi, freq):
+    if kind == "zero":
+        return jnp.zeros_like(freq)
+    if kind == "high":
+        t = jnp.clip((freq - lo) / (hi - lo), 0.0, 1.0)
+        ss = t * t * (3.0 - 2.0 * t)
+        return jnp.where(freq > hi, 1.0, jnp.where(freq > lo, ss, 0.0))
+    if kind == "low":
+        t = jnp.clip((freq - lo) / (hi - lo), 0.0, 1.0)
+        ss = 1.0 - t * t * (3.0 - 2.0 * t)
+        return jnp.where(freq < lo, 1.0, jnp.where(freq < hi, ss, 0.0))
+    # raised-cosine band
+    t = (freq - lo) / (hi - lo)
+    band = 0.5 * (1.0 + jnp.cos(2.0 * jnp.pi * (t - 0.5)))
+    return jnp.where((freq >= lo) & (freq <= hi), band, 0.0)
+
+
+def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
+    """The fused pyramid amplification on one VMEM block (re/im parts)."""
+    freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
+    cur_mag = jnp.sqrt(cr * cr + ci * ci)
+    prev_mag = jnp.sqrt(pr * pr + pi_ * pi_)
+    tau = jnp.float32(cfg.magnitude_threshold)
+
+    params = _mask_params(cfg)
+    use_steer = cfg.orientations > 1 and cfg.pyramid_levels >= 3
+    if use_steer:
+        theta = jnp.arctan2(
+            jnp.broadcast_to(fy_col, freq.shape),
+            jnp.broadcast_to(fx_row, freq.shape),
+        )
+        k_or = cfg.orientations
+        power = 2 * (k_or - 1)
+        raw = [jnp.abs(jnp.cos(theta - jnp.pi * k / k_or)) ** power
+               for k in range(k_or)]
+        tot = sum(raw)
+        tot = jnp.where(tot == 0.0, 1.0, tot)
+        ang = [a / tot for a in raw]
+
+    total = jnp.zeros_like(freq)
+    amped = jnp.zeros_like(cur_mag)
+    for kind, lo, hi, amp in params:
+        m = _eval_mask(kind, lo, hi, freq)
+        total = total + m
+        if amp:
+            if use_steer:
+                for a in ang:
+                    ma = m * a
+                    gate = (cur_mag * ma >= tau) & (prev_mag * ma >= tau)
+                    amped = amped + jnp.where(gate, ma, 0.0)
+            else:
+                gate = (cur_mag * m >= tau) & (prev_mag * m >= tau)
+                amped = amped + jnp.where(gate, m, 0.0)
+
+    # rotation e^{i s delta}
+    s = float(cfg.phase_scale)
+    r_re = pr * cr + pi_ * ci  # prev * conj(cur)
+    r_im = pi_ * cr - pr * ci
+    if s.is_integer() and 0 <= s <= 64:
+        m2 = r_re * r_re + r_im * r_im
+        inv = jnp.where(m2 > 0, jax.lax.rsqrt(jnp.maximum(m2, 1e-38)), 0.0)
+        zr, zi = r_re * inv, r_im * inv
+        n = int(s)
+        rr, ri = jnp.ones_like(zr), jnp.zeros_like(zi)
+        br, bi = zr, zi
+        while n > 0:
+            if n & 1:
+                rr, ri = rr * br - ri * bi, rr * bi + ri * br
+            br, bi = br * br - bi * bi, 2.0 * br * bi
+            n >>= 1
+        rot_re, rot_im = rr, ri
+    else:
+        delta = jnp.arctan2(r_im, r_re)
+        rot_re = jnp.cos(s * delta)
+        rot_im = jnp.sin(s * delta)
+
+    p = total - amped
+    g_re = p + amped * rot_re
+    g_im = amped * rot_im
+    return cr * g_re - ci * g_im, cr * g_im + ci * g_re
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
+                   interpret: bool = False):
+    """(B, H, W) bitrev spectra pair -> column-axis IFFT of the
+    phase-amplified spectrum (one kernel)."""
+    b, h, w = cur_re.shape
+    twr_np, twi_np = _dif_twiddles(h, True)
+    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    stages = twr_np.shape[0]
+    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]  # (H, 1)
+    fx = jnp.asarray(bitrev_freq_axis(w))[None, :]  # (1, W)
+
+    block_w = min(_LANE_BLOCK, w)
+    grid = (b, pl.cdiv(w, block_w))
+    spec = pl.BlockSpec((1, h, block_w), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    fy_spec = pl.BlockSpec((h, 1), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    fx_spec = pl.BlockSpec((1, block_w), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, h), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def kernel(cr_ref, ci_ref, pr_ref, pi_ref, fy_ref, fx_ref,
+               twr_ref, twi_ref, ore, oim):
+        mr, mi = _phase_block(
+            cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
+            fy_ref[:], fx_ref[:], cfg,
+        )
+        rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref)
+        ore[0] = rr
+        oim[0] = ii
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec, spec, fy_spec, fx_spec, tw_spec, tw_spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(cur_re.shape, jnp.float32),
+            jax.ShapeDtypeStruct(cur_re.shape, jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(cur_re, cur_im, prev_re, prev_im, fy, fx, twr, twi)
+
+
+@functools.partial(jax.jit, static_argnames=("magnitude", "interpret"))
+def row_ifft_magnitude(re, im, magnitude: bool = True,
+                       interpret: bool = False):
+    """(B, H, W) -> row-axis IFFT, normalized by 1/(H*W), reduced to |z|
+    (or Re z) — only one real plane is written back."""
+    b, h, w = re.shape
+    twr_np, twi_np = _dif_twiddles(w, True)
+    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    stages = twr_np.shape[0]
+    scale = 1.0 / (h * w)
+
+    block_h = min(_ROW_BLOCK, h)
+    grid = (b, pl.cdiv(h, block_h))
+    spec = pl.BlockSpec((1, block_h, w), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, w), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, twr_ref, twi_ref, out_ref):
+        rr, ii = _fft_stages(re_ref[0], im_ref[0], w, 1, True,
+                             twr_ref, twi_ref)
+        if magnitude:
+            out_ref[0] = jnp.sqrt(rr * rr + ii * ii) * scale
+        else:
+            out_ref[0] = rr * scale
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, tw_spec, tw_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(re.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(re, im, twr, twi)
+
+
+def fused_eligible(cfg) -> bool:
+    """Whether the fully-fused spectral path serves this config (opt-in via
+    `use_fused_spectral`)."""
+    return (
+        cfg.use_fused_spectral
+        and cfg.fft_backend == "pallas"
+        and cfg.mode == "pyramid"
+        and cfg.temporal.mode == "two_frame"
+        and not cfg.apply_magnitude_scale
+    )
