@@ -1,0 +1,56 @@
+"""Spatially-sharded (rows-across-chips) engine vs the unsharded pipeline
+on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from pbmm_tpu.config import MagnifyConfig
+from pbmm_tpu.engine.pipeline import magnify_frame_pair
+from pbmm_tpu.oracle.synthetic import oscillating_bar
+from pbmm_tpu.parallel.spatial import magnify_frame_pair_spatial
+from pbmm_tpu.utils.metrics import psnr
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _rows_mesh(n=8):
+    return Mesh(np.asarray(jax.devices()[:n]), ("rows",))
+
+
+def test_spatial_matches_unsharded():
+    frames = oscillating_bar(size=128, frames=3, bar_width=2)
+    cfg = MagnifyConfig(use_rfft=False)
+    mesh = _rows_mesh()
+    got = np.asarray(
+        magnify_frame_pair_spatial(frames[1], frames[2], cfg, mesh)
+    )
+    want = np.asarray(magnify_frame_pair(frames[1], frames[2], cfg))
+    assert got.shape == want.shape
+    assert psnr(got, want) > 70.0
+
+
+def test_spatial_rejects_bad_modes():
+    cfg = MagnifyConfig(mode="standard")
+    mesh = _rows_mesh()
+    with pytest.raises(ValueError, match="pyramid"):
+        magnify_frame_pair_spatial(
+            np.zeros((64, 64, 3), np.float32),
+            np.zeros((64, 64, 3), np.float32),
+            cfg,
+            mesh,
+        )
+
+
+def test_spatial_two_devices():
+    frames = oscillating_bar(size=64, frames=3, bar_width=2)
+    cfg = MagnifyConfig(use_rfft=False)
+    mesh = _rows_mesh(2)
+    got = np.asarray(
+        magnify_frame_pair_spatial(frames[1], frames[2], cfg, mesh)
+    )
+    want = np.asarray(magnify_frame_pair(frames[1], frames[2], cfg))
+    assert psnr(got, want) > 70.0
