@@ -160,3 +160,35 @@ def gaussian_blur5(img: jnp.ndarray, blur_size: float = 0.5,
     img = _blur_axis(img, taps, axes[1])
     img = _blur_axis(img, taps, axes[0])
     return img
+
+
+def blur_then_crop(img: jnp.ndarray, geom: Geometry,
+                   blur_size: float = 0.5) -> jnp.ndarray:
+    """`crop_center(gaussian_blur5(img))`, computed on the crop region only.
+
+    The reference blurs the full padded texture and then crops
+    (`MotionMagnificationProcessor.cs:197,200-205`); only the crop region
+    of the blurred image survives, and each output pixel depends on inputs
+    at most `radius` texels away.  Cropping first with a `radius`-pixel
+    halo and blurring that sub-region is therefore bit-identical while
+    doing ~(pad/(crop+4))^2 x less work (2048^2 -> 1084x1924 at 1080p):
+
+    - full-halo side: every tap of every kept pixel reads real sub-region
+      data (halo rows/cols absorb the dependency), so the sub-region's
+      edge-replicate padding is never consulted for kept outputs;
+    - clipped-halo side (crop touches the pad border): the sub-region edge
+      IS the padded-image edge, so edge-replicate reproduces the
+      reference's clamp sampling exactly.
+    """
+    radius = (len(blur_taps(blur_size)) - 1) // 2
+    hy0 = min(radius, geom.y0)
+    hx0 = min(radius, geom.x0)
+    hy1 = min(radius, geom.pad_h - geom.y0 - geom.in_h)
+    hx1 = min(radius, geom.pad_w - geom.x0 - geom.in_w)
+    sub = img[
+        ...,
+        geom.y0 - hy0 : geom.y0 + geom.in_h + hy1,
+        geom.x0 - hx0 : geom.x0 + geom.in_w + hx1,
+    ]
+    sub = gaussian_blur5(sub, blur_size)
+    return sub[..., hy0 : hy0 + geom.in_h, hx0 : hx0 + geom.in_w]

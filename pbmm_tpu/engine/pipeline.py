@@ -27,6 +27,7 @@ from pbmm_tpu.config import MagnifyConfig
 from pbmm_tpu.core.color import rgb_to_yiq, yiq_to_rgb
 from pbmm_tpu.core.window import (
     Geometry,
+    blur_then_crop,
     crop_center,
     gaussian_blur5,
     geometry_for,
@@ -210,8 +211,9 @@ def postprocess(
     else:
         chans = jnp.real(rec) if jnp.iscomplexobj(rec) else rec
     with jax.named_scope("pbmm.blur"):
-        chans = gaussian_blur5(chans, cfg.blur_size)
-    chans = crop_center(chans, geom)  # (..., C, H, W)
+        # Bit-identical to blur-at-padded-res + crop, on ~1/4 the pixels
+        # (halo analysis in `core/window.py::blur_then_crop`).
+        chans = blur_then_crop(chans, geom, cfg.blur_size)  # (..., C, H, W)
 
     win_c = hann2d_region(geom)
     if cfg.chroma == "rgb":

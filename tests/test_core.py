@@ -8,6 +8,7 @@ import pytest
 from pbmm_tpu.core.color import rgb_to_yiq, yiq_to_rgb, RGB_TO_YIQ, YIQ_TO_RGB
 from pbmm_tpu.core.window import (
     blur_taps,
+    blur_then_crop,
     crop_center,
     gaussian_blur5,
     geometry_for,
@@ -79,6 +80,17 @@ class TestWindow:
 
 
 class TestBlur:
+    def test_blur_then_crop_equals_full_blur(self, rng):
+        # Interior crop (full halo) and edge-touching crop (clipped halo)
+        # are both bit-identical to blur-at-padded-res + crop.
+        for in_h, in_w in [(30, 50), (64, 64), (61, 33)]:
+            g = geometry_for(in_h, in_w)
+            img = jnp.asarray(rng.random((2, g.pad_h, g.pad_w)), jnp.float32)
+            ref = np.asarray(crop_center(gaussian_blur5(img, 0.5), g))
+            fast = np.asarray(blur_then_crop(img, g, 0.5))
+            np.testing.assert_array_equal(ref, fast)
+
+
     def test_taps_sum_to_one(self):
         taps = np.array(blur_taps(0.5))
         assert len(taps) == 5
