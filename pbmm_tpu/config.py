@@ -130,8 +130,10 @@ class MagnifyConfig:
 
     # --- backend ---
     fft_backend: str = "xla"  # "xla" (jnp.fft) | "pallas" (fused radix-2
-    #   kernels, bitrev spectral layout — spectral/pallas_fft.py).  Both
-    #   behind one interface and benchmarked honestly (SURVEY.md §7.3).
+    #   kernels, bitrev spectral layout — spectral/pallas_fft.py) | "mxu"
+    #   (four-step matmul-factored DFT on the systolic array, natural rfft
+    #   layout — spectral/mxu_fft.py).  All behind one interface and
+    #   benchmarked honestly (SURVEY.md §7.3).
     use_rfft: bool = True  # half-spectrum (rfft2/irfft2) spectral path.
     #   Mathematically identical for real inputs: the phase modification
     #   preserves Hermitian symmetry (gates even in k, wrapped delta odd,
@@ -164,12 +166,17 @@ class MagnifyConfig:
                 "use_pallas currently requires use_rfft=False (the Pallas "
                 "kernel tiles full-width lane-aligned spectra)"
             )
-        if self.fft_backend not in ("xla", "pallas"):
+        if self.fft_backend not in ("xla", "pallas", "mxu"):
             raise ValueError(f"unknown fft_backend: {self.fft_backend!r}")
         if self.fft_backend == "pallas" and self.use_rfft:
             raise ValueError(
                 "fft_backend='pallas' requires use_rfft=False (full complex "
                 "spectrum in bit-reversed layout)"
+            )
+        if self.fft_backend == "mxu" and not self.use_rfft:
+            raise ValueError(
+                "fft_backend='mxu' requires use_rfft=True (four-step matmul "
+                "FFT produces the natural half-spectrum layout)"
             )
 
     def tuned_for_tpu(self) -> "MagnifyConfig":

@@ -39,7 +39,10 @@ from pbmm_tpu.phase.amplify import (
     phase_delta,
     pyramid_phase_amplify_procedural,
 )
-from pbmm_tpu.phase.pallas_kernels import pyramid_phase_amplify_pallas
+from pbmm_tpu.phase.pallas_kernels import (
+    pyramid_phase_amplify_pallas,
+    pyramid_phase_amplify_pallas_procedural,
+)
 from pbmm_tpu.phase.standard import bandpass_weight_map_jnp, standard_phase_amplify
 from pbmm_tpu.phase.temporal import TemporalState, temporal_apply, temporal_init
 from pbmm_tpu.pyramid.filters import amplified_level_flags, filter_bank
@@ -49,6 +52,7 @@ from pbmm_tpu.spectral.fft import (
     irfft2_half,
     rfft2_half,
 )
+from pbmm_tpu.spectral.mxu_fft import irfft2_mxu, rfft2_mxu
 from pbmm_tpu.spectral.pallas_fft import fft2_bitrev, ifft2_bitrev
 
 
@@ -91,6 +95,8 @@ def preprocess(
                 flat = chans.reshape((-1,) + shape[-2:])
                 re, im = fft2_bitrev(flat, interpret=cfg.interpret_pallas)
                 spec = jax.lax.complex(re, im).reshape(shape)
+            elif cfg.fft_backend == "mxu":
+                spec = rfft2_mxu(chans)
             elif cfg.use_rfft:
                 spec = rfft2_half(chans)
             else:
@@ -133,7 +139,24 @@ def _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state):
         )
 
     if cfg.mode == "pyramid":
-        if cfg.use_pallas:
+        if (
+            cfg.use_pallas
+            and cfg.orientations <= 1
+            and delta_override is None
+            and pad_w % 128 == 0
+        ):
+            # Constant-free kernel: masks evaluated in-kernel, trig-free
+            # rotation; HBM traffic = the spectra alone.
+            mod = pyramid_phase_amplify_pallas_procedural(
+                cur_spec,
+                prev_spec,
+                cfg,
+                layout,
+                interpret=cfg.interpret_pallas,
+            )
+        elif cfg.use_pallas and layout == "centered":
+            # Mask-plane kernel (centered-layout banks only; other layouts
+            # take the procedural XLA pass below, which is layout-aware).
             masks = filter_bank(pad_h, pad_w, cfg)
             flags = amplified_level_flags(cfg)
             mod = pyramid_phase_amplify_pallas(
@@ -199,6 +222,8 @@ def postprocess(
                 interpret=cfg.interpret_pallas,
             )
             rec = jax.lax.complex(rre, rim).reshape(shape)
+        elif cfg.fft_backend == "mxu":
+            rec = irfft2_mxu(mod_spec, pad_w)  # real by construction
         elif cfg.use_rfft:
             rec = irfft2_half(mod_spec, pad_w)  # real by construction
         else:

@@ -173,3 +173,186 @@ def pyramid_phase_amplify_pallas(
     )
     out = jax.lax.complex(out_re, out_im)
     return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Procedural variant: masks computed in-kernel from frequency-axis vectors.
+# ---------------------------------------------------------------------------
+
+def _smoothstep(t):
+    t = jnp.clip(t, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _radial_mask(f, i: int, levels: int, min_f: float, max_f: float):
+    """In-kernel transcription of `pyramid.filters.radial_profile_jnp`
+    (same math as `GeneratePyramidFilters`, `PyramidOperations.compute:
+    25-87`); `f` is the radius tile."""
+    if i == 0:
+        return jnp.where(
+            f > max_f,
+            1.0,
+            jnp.where(
+                f > 0.8 * max_f,
+                _smoothstep((f - 0.8 * max_f) / (0.2 * max_f)),
+                0.0,
+            ),
+        )
+    if i == levels - 1:
+        return jnp.where(
+            f < min_f,
+            1.0,
+            jnp.where(
+                f < 1.2 * min_f,
+                1.0 - _smoothstep((f - min_f) / (0.2 * min_f)),
+                0.0,
+            ),
+        )
+    if levels == 3:
+        return jnp.zeros_like(f)  # the reference's L=3 NaN-ratio quirk
+    r = (i - 1) / (levels - 3)
+    c = min_f * (max_f / min_f) ** (1.0 - r)
+    lo, hi = c - 0.5 * c, c + 0.5 * c
+    t = (f - lo) / (hi - lo)
+    band = 0.5 * (1.0 + jnp.cos(2.0 * jnp.pi * (t - 0.5)))
+    return jnp.where((f >= lo) & (f <= hi), band, 0.0)
+
+
+def _make_procedural_kernel(levels: int, min_f: float, max_f: float,
+                            phase_scale: float, tau: float):
+    s = float(phase_scale)
+    int_scale = s.is_integer() and 0 <= s <= 64
+
+    def kernel(fy_ref, fx_ref, cur_re, cur_im, prev_re, prev_im,
+               out_re, out_im):
+        cr, ci = cur_re[0], cur_im[0]
+        pr, pi_ = prev_re[0], prev_im[0]
+        fy = fy_ref[...][:, 0:1]  # (tile_h, 1)
+        fx = fx_ref[...][0:1, :]  # (1, w)
+        f = jnp.sqrt(fy * fy + fx * fx)
+
+        cur_mag = jnp.sqrt(cr * cr + ci * ci)
+        prev_mag = jnp.sqrt(pr * pr + pi_ * pi_)
+        gate_mag = jnp.minimum(cur_mag, prev_mag)
+
+        total = jnp.zeros_like(f)
+        amped = jnp.zeros_like(cr)
+        for i in range(levels):  # static unroll, profiles fused on the VPU
+            m = _radial_mask(f, i, levels, min_f, max_f)
+            total = total + m
+            if 0 < i < levels - 1:
+                amped = amped + jnp.where(gate_mag * m >= tau, m, 0.0)
+
+        if int_scale:
+            # Trig-free: (prev*conj(cur)/|.|)^s == e^{i*s*wrap(dphi)}.
+            rr = pr * cr + pi_ * ci
+            ri = pi_ * cr - pr * ci
+            m2 = rr * rr + ri * ri
+            inv = jnp.where(
+                m2 > 0, jax.lax.rsqrt(jnp.maximum(m2, 1e-38)), 0.0
+            )
+            ur, ui = rr * inv, ri * inv
+            wr = jnp.ones_like(ur)
+            wi = jnp.zeros_like(ui)
+            n = int(s)
+            br, bi = ur, ui
+            first = True
+            while n > 0:
+                if n & 1:
+                    if first:
+                        wr, wi = br, bi
+                        first = False
+                    else:
+                        wr, wi = wr * br - wi * bi, wr * bi + wi * br
+                n >>= 1
+                if n:
+                    br, bi = br * br - bi * bi, 2.0 * br * bi
+        else:
+            # Same product form as `phase.amplify.phase_delta`: one atan2,
+            # already wrapped (and the same ±pi branch choice, so the two
+            # formulations agree bin-for-bin).
+            rr = pr * cr + pi_ * ci
+            ri = pi_ * cr - pr * ci
+            ang = jnp.float32(s) * jnp.arctan2(ri, rr)
+            wr, wi = jnp.cos(ang), jnp.sin(ang)
+
+        er = (total - amped) + amped * wr
+        ei = amped * wi
+        out_re[0] = cr * er - ci * ei
+        out_im[0] = cr * ei + ci * er
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "min_f", "max_f", "phase_scale", "tau",
+                     "interpret"),
+)
+def _amplify_pallas_procedural(
+    cur_re, cur_im, prev_re, prev_im, fy, fx,
+    levels: int, min_f: float, max_f: float,
+    phase_scale: float, tau: float, interpret: bool,
+):
+    c, h, w = cur_re.shape
+    tile_h = min(h, 128) if h * w <= 2**21 else 64
+    grid = (c, pl.cdiv(h, tile_h))
+
+    chan_spec = pl.BlockSpec(
+        (1, tile_h, w), lambda ci, hi: (ci, hi, 0), memory_space=pltpu.VMEM
+    )
+    fy_spec = pl.BlockSpec(
+        (tile_h, 128), lambda ci, hi: (hi, 0), memory_space=pltpu.VMEM
+    )
+    fx_spec = pl.BlockSpec(
+        (8, w), lambda ci, hi: (0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_procedural_kernel(levels, min_f, max_f, phase_scale, tau)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[fy_spec, fx_spec, chan_spec, chan_spec, chan_spec,
+                  chan_spec],
+        out_specs=(chan_spec, chan_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        ),
+        interpret=interpret,
+    )(fy, fx, cur_re, cur_im, prev_re, prev_im)
+    return out_re, out_im
+
+
+def pyramid_phase_amplify_pallas_procedural(
+    cur: jnp.ndarray,
+    prev: jnp.ndarray,
+    cfg,
+    layout: str,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Constant-free fused band/phase pass: radial masks are evaluated
+    in-kernel from (H,)/(W,) frequency-axis vectors (any spectral layout),
+    so per-frame HBM traffic is exactly the two input spectra + the output
+    — no mask planes.  Radial (reference) bank only; the steerable /
+    temporal variants fall back to the XLA procedural pass.
+
+    Requires lane-aligned spectra (W % 128 == 0) and pyramid mode without
+    delta override.
+    """
+    from pbmm_tpu.pyramid.filters import freq_axes_jnp
+
+    shape = cur.shape
+    h, w = shape[-2:]
+    cur = cur.reshape((-1, h, w))  # collapse all leading (batch/chan) dims
+    prev = prev.reshape((-1, h, w))
+    fy_v, fx_v = freq_axes_jnp(h, w, layout)
+    fy = jnp.broadcast_to(jnp.reshape(fy_v, (h, 1)), (h, 128))
+    fx = jnp.broadcast_to(jnp.reshape(fx_v, (1, w)), (8, w))
+    out_re, out_im = _amplify_pallas_procedural(
+        jnp.real(cur), jnp.imag(cur), jnp.real(prev), jnp.imag(prev),
+        fy, fx,
+        int(cfg.pyramid_levels), float(cfg.min_frequency),
+        float(cfg.max_frequency), float(cfg.phase_scale),
+        float(cfg.magnitude_threshold), bool(interpret),
+    )
+    return jax.lax.complex(out_re, out_im).reshape(shape)
