@@ -15,6 +15,7 @@ through unmodified (`MotionMagnificationProcessor.cs:111-117`).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -83,6 +84,22 @@ def video_step(
     return new_state, out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
+    final_state, outs = jax.lax.scan(
+        lambda s, f: video_step(s, f, cfg), state, frames
+    )
+    return outs, final_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _magnify_bootstrap(frames, cfg: MagnifyConfig):
+    state = video_init(frames[0], cfg)
+    first_out = frames[0].astype(jnp.float32)[None]
+    outs, final_state = _magnify_chunk(frames[1:], state, cfg)
+    return jnp.concatenate([first_out, outs], axis=0), final_state
+
+
 def magnify_video(
     frames: jnp.ndarray, cfg: MagnifyConfig, state: VideoState = None
 ) -> Tuple[jnp.ndarray, VideoState]:
@@ -96,19 +113,12 @@ def magnify_video(
 
     Returns (out_frames (T, H, W, 3), final_state).  Chunked streaming:
     call repeatedly with consecutive clips, threading the returned state.
+
+    The whole clip runs as ONE cached executable (jit with `cfg` static —
+    the analog of `OnValidate` retracing on parameter edits); repeat calls
+    with the same shapes/config dispatch without retracing.
     """
+    frames = jnp.asarray(frames)
     if state is None:
-        state = video_init(frames[0], cfg)
-        first_out = frames[0].astype(jnp.float32)[None]
-        rest = frames[1:]
-    else:
-        first_out = None
-        rest = frames
-
-    def step(s, f):
-        return video_step(s, f, cfg)
-
-    final_state, outs = jax.lax.scan(step, state, rest)
-    if first_out is not None:
-        outs = jnp.concatenate([first_out, outs], axis=0)
-    return outs, final_state
+        return _magnify_bootstrap(frames, cfg)
+    return _magnify_chunk(frames, state, cfg)
