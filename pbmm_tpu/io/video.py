@@ -2,8 +2,9 @@
 
 The reference has no video I/O at all — frames arrive from Unity's renderer
 (`OnRenderImage`).  The TPU framework is offline/streaming, so clips are
-exchanged as arrays: .npy/.npz natively; common video containers via
-imageio/cv2 when available (gated — neither ships in the baked image).
+exchanged as arrays: .npy/.npz/.y4m natively (y4m is a zero-dependency numpy parser,
+`io/y4m.py`); other containers via imageio/cv2 when available (gated —
+neither ships in the baked image).
 """
 
 from __future__ import annotations
@@ -28,13 +29,17 @@ def load_video(path: str) -> np.ndarray:
         with np.load(path) as z:
             key = "frames" if "frames" in z else list(z.keys())[0]
             return _to_float01(z[key])
+    if ext == ".y4m":
+        from pbmm_tpu.io.y4m import load_y4m
+
+        return load_y4m(path)
     try:  # pragma: no cover - optional dependency
         import imageio.v3 as iio
 
         return _to_float01(np.asarray(iio.imread(path)))
     except ImportError as e:
         raise RuntimeError(
-            f"cannot read {path!r}: only .npy/.npz supported without imageio"
+            f"cannot read {path!r}: only .npy/.npz/.y4m supported without imageio"
         ) from e
 
 
@@ -49,11 +54,16 @@ def save_video(path: str, frames: np.ndarray) -> None:
     if ext == ".npz":
         np.savez_compressed(path, frames=frames.astype(np.float32))
         return
+    if ext == ".y4m":
+        from pbmm_tpu.io.y4m import save_y4m
+
+        save_y4m(path, frames)
+        return
     try:  # pragma: no cover - optional dependency
         import imageio.v3 as iio
 
         iio.imwrite(path, (np.clip(frames, 0, 1) * 255).astype(np.uint8))
     except ImportError as e:
         raise RuntimeError(
-            f"cannot write {path!r}: only .npy/.npz supported without imageio"
+            f"cannot write {path!r}: only .npy/.npz/.y4m supported without imageio"
         ) from e

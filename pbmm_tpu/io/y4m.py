@@ -1,0 +1,135 @@
+"""YUV4MPEG2 (.y4m) reader/writer — pure numpy, zero dependencies.
+
+The reference has no video I/O (frames come from Unity's renderer,
+`OnRenderImage`); for the offline TPU framework .y4m is the lingua franca
+uncompressed interchange format (`ffmpeg -i in.mp4 out.y4m`), so clips can
+move in/out without optional decoders in the image.
+
+Supports C420 (all jpeg/mpeg2/paldv siting variants, treated as co-sited
+averages), C422 and C444, 8-bit.  Color math is BT.601 limited-range
+("studio swing"), the same NTSC-era matrix family as the reference's YIQ
+pipeline (`RGBToYIQ.shader:46-50`).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterator, Tuple
+
+import numpy as np
+
+# BT.601 limited-range YCbCr <-> full-range RGB (float in [0,1]).
+_KR, _KG, _KB = 0.299, 0.587, 0.114
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = (y.astype(np.float32) - 16.0) / 219.0
+    pb = (cb.astype(np.float32) - 128.0) / 224.0
+    pr = (cr.astype(np.float32) - 128.0) / 224.0
+    r = yf + 2.0 * (1.0 - _KR) * pr
+    b = yf + 2.0 * (1.0 - _KB) * pb
+    g = (yf - _KR * r - _KB * b) / _KG
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rgb = np.clip(rgb.astype(np.float32), 0.0, 1.0)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    yf = _KR * r + _KG * g + _KB * b
+    pb = (b - yf) / (2.0 * (1.0 - _KB))
+    pr = (r - yf) / (2.0 * (1.0 - _KR))
+    y = np.clip(np.round(yf * 219.0 + 16.0), 0, 255).astype(np.uint8)
+    cb = np.clip(np.round(pb * 224.0 + 128.0), 0, 255).astype(np.uint8)
+    cr = np.clip(np.round(pr * 224.0 + 128.0), 0, 255).astype(np.uint8)
+    return y, cb, cr
+
+
+def _chroma_dims(w: int, h: int, cs: str) -> Tuple[int, int]:
+    if cs.startswith("420"):
+        return (w + 1) // 2, (h + 1) // 2
+    if cs.startswith("422"):
+        return (w + 1) // 2, h
+    if cs.startswith("444"):
+        return w, h
+    raise ValueError(f"unsupported y4m colorspace C{cs}")
+
+
+def _upsample(plane: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor chroma upsample to (h, w)."""
+    ry = h // plane.shape[0] if plane.shape[0] else 1
+    rx = w // plane.shape[1] if plane.shape[1] else 1
+    return np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)[:h, :w]
+
+
+def _downsample(plane: np.ndarray, cw: int, ch: int) -> np.ndarray:
+    """Box-average chroma downsample from (h, w) to (ch, cw)."""
+    h, w = plane.shape
+    ry, rx = max(h // ch, 1), max(w // cw, 1)
+    trimmed = plane[: ch * ry, : cw * rx].astype(np.float32)
+    return trimmed.reshape(ch, ry, cw, rx).mean(axis=(1, 3))
+
+
+def read_y4m_frames(path: str) -> Iterator[np.ndarray]:
+    """Yield (H, W, 3) f32 RGB frames in [0, 1]."""
+    with open(path, "rb") as f:
+        header = f.readline().decode("ascii", "replace").strip()
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError(f"{path!r} is not a YUV4MPEG2 stream")
+        w = h = 0
+        cs = "420jpeg"
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C":
+                cs = tok[1:]
+        if not (w and h):
+            raise ValueError(f"{path!r}: missing W/H in y4m header")
+        cw, ch = _chroma_dims(w, h, cs)
+        ysz, csz = w * h, cw * ch
+        while True:
+            marker = f.readline()
+            if not marker:
+                return
+            if not marker.startswith(b"FRAME"):
+                raise ValueError(f"{path!r}: bad frame marker {marker[:20]!r}")
+            raw = f.read(ysz + 2 * csz)
+            if len(raw) < ysz + 2 * csz:
+                return
+            y = np.frombuffer(raw, np.uint8, ysz).reshape(h, w)
+            cb = np.frombuffer(raw, np.uint8, csz, ysz).reshape(ch, cw)
+            cr = np.frombuffer(raw, np.uint8, csz, ysz + csz).reshape(ch, cw)
+            yield _ycbcr_to_rgb(y, _upsample(cb, w, h), _upsample(cr, w, h))
+
+
+def load_y4m(path: str) -> np.ndarray:
+    """-> (T, H, W, 3) f32 RGB in [0, 1]."""
+    frames = list(read_y4m_frames(path))
+    if not frames:
+        raise ValueError(f"{path!r}: no frames")
+    return np.stack(frames)
+
+
+def save_y4m(path: str, frames: np.ndarray, fps: Tuple[int, int] = (30, 1),
+             colorspace: str = "444") -> None:
+    """Write (T, H, W, 3) float RGB in [0, 1] as 8-bit y4m."""
+    frames = np.asarray(frames)
+    t, h, w = frames.shape[:3]
+    cw, ch = _chroma_dims(w, h, colorspace)
+    buf = io.BytesIO()
+    buf.write(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+        f"C{colorspace}\n".encode("ascii")
+    )
+    for i in range(t):
+        y, cb, cr = _rgb_to_ycbcr(frames[i])
+        if (cw, ch) != (w, h):
+            cb = np.clip(np.round(_downsample(cb, cw, ch)), 0, 255)
+            cr = np.clip(np.round(_downsample(cr, cw, ch)), 0, 255)
+        buf.write(b"FRAME\n")
+        buf.write(y.astype(np.uint8).tobytes())
+        buf.write(cb.astype(np.uint8).tobytes())
+        buf.write(cr.astype(np.uint8).tobytes())
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
