@@ -40,8 +40,7 @@ def _magnify_clip_fused(frames: jnp.ndarray, cfg: MagnifyConfig) -> jnp.ndarray:
     intermediate HBM round trips."""
     from pbmm_tpu.core.color import rgb_to_yiq, yiq_to_rgb
     from pbmm_tpu.core.window import (
-        crop_center,
-        gaussian_blur5,
+        blur_then_crop,
         geometry_for,
         hann2d_region,
         pad_center,
@@ -78,8 +77,9 @@ def _magnify_clip_fused(frames: jnp.ndarray, cfg: MagnifyConfig) -> jnp.ndarray:
         interpret=cfg.interpret_pallas,
     )  # (T*C, Hp, Wp) real
 
-    rec = gaussian_blur5(rec, cfg.blur_size)
-    rec = crop_center(rec, geom).reshape(t, c, h, w)
+    # Bit-identical to blur-at-padded-res + crop, on ~1/4 the pixels
+    # (halo analysis in `core/window.py::blur_then_crop`).
+    rec = blur_then_crop(rec, geom, cfg.blur_size).reshape(t, c, h, w)
 
     win_c = hann2d_region(geom)
     if cfg.chroma == "rgb":
