@@ -57,6 +57,49 @@ def bit_reverse_permutation(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=16)
+def _intra_group_matrix(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """The 128x128 complex matrix equal to the product of all radix-2 stages
+    with butterfly half-distance d < 128 ("intra-group" stages).
+
+    Key fact: for d <= 64 the stage twiddle W_{2d}^{r mod d} has period
+    2d <= 128, so every aligned 128-lane (or 128-sublane) group sees the
+    *same* twiddles — the 7 innermost stages of a >=128-point transform are
+    one constant linear map per group.  Applying it as a single MXU matmul
+    (precision=HIGHEST, ~1e-6 relative error) replaces 7 roll+select VPU
+    passes; the remaining log2(n)-7 "inter-group" stages keep the roll
+    formulation.  Exactness of the grouping: every butterfly with d < 128
+    pairs positions within one aligned 128-block (r and r+d share their
+    2d-aligned block), so no cross-group data flow is lost.
+
+    Built by pushing the identity through the same stage recurrence the
+    kernel uses (`_fft_stages`), in complex128, then cast to f32.
+
+    Returns (re, im) of A, where out = A @ v for a 128-vector v in layout
+    position space (forward: stages d=64..1 in DIF order; inverse: d=1..64
+    in DIT order).
+    """
+    pos = np.arange(128)
+    sign = +2.0 if inverse else -2.0
+    ds = [d for d in range(1, 128) if d & (d - 1) == 0]  # 1..64
+    if not inverse:
+        ds = ds[::-1]  # DIF: descending
+    a = np.eye(128, dtype=np.complex128)
+    for d in ds:
+        j = pos % d
+        tw = np.exp(sign * 1j * np.pi * j / (2 * d))[:, None]
+        top = ((pos & d) == 0)[:, None]
+        up = np.roll(a, -d, axis=0)  # row r -> A[r+d]
+        dn = np.roll(a, d, axis=0)  # row r -> A[r-d]
+        if not inverse:
+            # DIF: top = x + u ; bottom = (v - x) * tw
+            a = np.where(top, a + up, (dn - a) * tw)
+        else:
+            # DIT: top = x + u * tw ; bottom = v - x * tw
+            a = np.where(top, a + up * tw, dn - a * tw)
+    return a.real.astype(np.float32), a.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
 def _dif_twiddles(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
     """Per-stage twiddle vectors for the roll-formulated butterflies.
 
@@ -101,7 +144,56 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % n, axis)
 
 
-def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im):
+_DOT_DN = (((1,), (1,)), ((), ()))  # contract x's minor dim with A's k dim
+
+
+def _apply_intra_group(re, im, gr, gi, axis: int):
+    """Multiply each aligned 128-group along `axis` by the complex matrix
+    A = gr + i*gi (out = A @ v per group) — one MXU pass replacing the 7
+    innermost radix-2 stages.  `im=None` = purely real input (n == 128
+    forward edge case)."""
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=_DOT_DN,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if axis == 1:
+        r, n = re.shape
+        xr = re.reshape(r * (n // 128), 128)
+        xi = None if im is None else im.reshape(r * (n // 128), 128)
+        # out[..., m] = sum_k x[..., k] * A[m, k]
+        if xi is None:
+            yr, yi = dot(xr, gr), dot(xr, gi)
+        else:
+            yr = dot(xr, gr) - dot(xi, gi)
+            yi = dot(xr, gi) + dot(xi, gr)
+        return yr.reshape(r, n), yi.reshape(r, n)
+    # axis == 0: per-group left-multiply, statically unrolled over groups.
+    n = re.shape[0]
+    dotl = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    outs_r, outs_i = [], []
+    for g in range(n // 128):
+        sl = slice(g * 128, (g + 1) * 128)
+        xr = re[sl]
+        xi = None if im is None else im[sl]
+        if xi is None:
+            yr, yi = dotl(gr, xr), dotl(gi, xr)
+        else:
+            yr = dotl(gr, xr) - dotl(gi, xi)
+            yi = dotl(gi, xr) + dotl(gr, xi)
+        outs_r.append(yr)
+        outs_i.append(yi)
+    return jnp.concatenate(outs_r, axis=0), jnp.concatenate(outs_i, axis=0)
+
+
+def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im,
+                gm=None):
     """Run all log2(n) radix-2 stages along `axis` of (re, im).
 
     tw_re/tw_im: (stages, n) f32 refs-values; broadcast along the other
@@ -109,13 +201,29 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im):
     natural, unnormalized).  `im=None` marks a real input: the first
     (forward) stage is specialized to skip all imaginary arithmetic, so the
     caller never materializes a zero plane in HBM.
+
+    gm: optional (gre, gim) 128x128 group-matrix values
+    (`_intra_group_matrix`): the 7 intra-group stages (d < 128) run as one
+    MXU matmul instead of roll+select VPU passes — last for the forward
+    transform, first for the inverse (matching DIF/DIT stage order).
     """
     stages = n.bit_length() - 1
     pos = jax.lax.broadcasted_iota(jnp.int32, re.shape, axis)
     ds = [n >> (s + 1) for s in range(stages)]
     if inverse:
         ds = ds[::-1]
-    for row, d in enumerate(ds):
+    row_offset = 0
+    if gm is not None and n >= 128:
+        if inverse:
+            # Intra-group stages are rows 0..6 of the (ascending-d) inverse
+            # tables; replace them with the matmul, then roll-stage the rest.
+            re, im = _apply_intra_group(re, im, gm[0], gm[1], axis)
+            ds = [d for d in ds if d >= 128]
+            row_offset = stages - len(ds)
+        else:
+            ds = [d for d in ds if d >= 128]
+    for idx, d in enumerate(ds):
+        row = idx + row_offset
         top = (pos & d) == 0
         if im is None:
             # Real-input first stage (forward DIF only): x, u, v all real.
@@ -164,6 +272,8 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im):
                 jnp.where(top, re + ut_re, v_re - xt_re),
                 jnp.where(top, im + ut_im, v_im - xt_im),
             )
+    if gm is not None and n >= 128 and not inverse:
+        re, im = _apply_intra_group(re, im, gm[0], gm[1], axis)
     return re, im
 
 
@@ -194,6 +304,12 @@ def _fft_axis(re, im, axis: int, inverse: bool, scale: float,
     stages = twr_np.shape[0]
     real_input = im is None
     kaxis = 1 if axis == 2 else 0
+    use_gm = n >= 128
+    if use_gm:
+        gr_np, gi_np = _intra_group_matrix(n, inverse)
+        gmats = [jnp.asarray(gr_np), jnp.asarray(gi_np)]
+    else:
+        gmats = []
 
     if axis == 2:
         block = (1, min(_ROW_BLOCK, h), w)
@@ -205,16 +321,16 @@ def _fft_axis(re, im, axis: int, inverse: bool, scale: float,
         index = lambda i, j: (i, 0, j)
 
     def kernel(*refs):
-        if real_input:
-            re_ref, twr_ref, twi_ref, ore_ref, oim_ref = refs
-            rr, ii = _fft_stages(
-                re_ref[0], None, n, kaxis, inverse, twr_ref, twi_ref
-            )
-        else:
-            re_ref, im_ref, twr_ref, twi_ref, ore_ref, oim_ref = refs
-            rr, ii = _fft_stages(
-                re_ref[0], im_ref[0], n, kaxis, inverse, twr_ref, twi_ref
-            )
+        k = 1 if real_input else 2
+        data_refs = refs[:k]
+        twr_ref, twi_ref = refs[k : k + 2]
+        gm = (refs[k + 2][...], refs[k + 3][...]) if use_gm else None
+        ore_ref, oim_ref = refs[-2:]
+        rr, ii = _fft_stages(
+            data_refs[0][0],
+            None if real_input else data_refs[1][0],
+            n, kaxis, inverse, twr_ref, twi_ref, gm=gm,
+        )
         if scale != 1.0:
             rr = rr * scale
             ii = ii * scale
@@ -225,8 +341,14 @@ def _fft_axis(re, im, axis: int, inverse: bool, scale: float,
     tw_spec = pl.BlockSpec(
         (stages, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [spec] + ([] if real_input else [spec]) + [tw_spec, tw_spec]
-    inputs = [re] + ([] if real_input else [im]) + [twr, twi]
+    gm_spec = pl.BlockSpec(
+        (128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [spec] + ([] if real_input else [spec]) + [tw_spec, tw_spec]
+        + [gm_spec] * len(gmats)
+    )
+    inputs = [re] + ([] if real_input else [im]) + [twr, twi] + gmats
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
