@@ -141,11 +141,12 @@ class MagnifyConfig:
     #   extension of the half — at ~half the FFT + phase-pass cost.  Set
     #   False for the literal full-spectrum chain.
     use_pallas: bool = False  # fused band/phase pass as a Pallas TPU kernel
-    use_fused_spectral: bool = False  # fully-fused window->FFT / phase->IFFT
-    #   kernels (spectral/fused.py).  Measured slightly slower than the
-    #   unfused Pallas path at 2048^2 (the phase+IFFT kernel's ~16 MB VMEM
-    #   live set defeats double-buffering) — kept opt-in, honest numbers in
-    #   README.
+    use_fused_spectral: bool = False  # fuse the band/phase pass into the
+    #   column-IFFT kernel and the |z| reduction into the row-IFFT kernel
+    #   (spectral/fused.py): the modified spectrum and the complex
+    #   reconstruction never round-trip HBM.  Default in `tuned_for_tpu()`
+    #   since the MXU group-matmul freed the VPU budget that made the
+    #   round-1 fused path lose; honest numbers in README.
     interpret_pallas: bool = False  # Pallas interpret mode (CPU testing)
 
     def __post_init__(self):
@@ -181,11 +182,13 @@ class MagnifyConfig:
 
     def tuned_for_tpu(self) -> "MagnifyConfig":
         """Fastest-known equivalent configuration for real TPU hardware:
-        the Pallas fused-stage FFT backend (2x XLA's FFT at 2048^2).
-        Output is PSNR-equivalent (>70 dB) to the default path; tests
-        assert both."""
+        the Pallas fused-stage FFT backend (radix-2 roll stages + one MXU
+        group matmul per axis) with the phase pass fused into the
+        column-IFFT kernel and |z| into the row-IFFT kernel.  Output is
+        PSNR-equivalent (>70 dB) to the default path; tests assert both."""
         return dataclasses.replace(
-            self, fft_backend="pallas", use_rfft=False
+            self, fft_backend="pallas", use_rfft=False,
+            use_fused_spectral=True,
         )
 
     @staticmethod

@@ -194,25 +194,11 @@ def _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state):
     return mod, new_state
 
 
-def postprocess(
-    mod_spec: jnp.ndarray,
-    yiq_small: jnp.ndarray,
-    cfg: MagnifyConfig,
-) -> jnp.ndarray:
-    """(..., C, Hp, Wp) modified spectra + (..., 3, H, W) input-resolution
-    YIQ -> (..., 3, H, W) RGB (channels-first, already cropped).  Batch
-    dims flow through.
-
-    Mirrors PerformIFFT (magnitude reconstruction, `FFT.compute:143-150`) ->
-    ApplyAntiAliasing -> CombineYIQChannels -> YIQToRGB (saturate) ->
-    CropTexture (`MotionMagnificationProcessor.cs:196-205`).  The blur runs
-    at padded resolution (its taps near the crop edge read outside the
-    crop, as in the reference); the windowed chroma combine happens on the
-    crop region directly (identical values — see `preprocess`).
-    """
-    h, w = yiq_small.shape[-2:]
-    geom = geometry_for(h, w, cfg.pad_mode)
-    pad_w = geom.pad_w
+def reconstruct(mod_spec: jnp.ndarray, cfg: MagnifyConfig,
+                pad_w: int) -> jnp.ndarray:
+    """Modified spectrum -> real reconstruction at padded resolution:
+    PerformIFFT with the reference's magnitude reduction
+    (`FFT.compute:143-150`, `MotionMagnificationProcessor.cs:196`)."""
     with jax.named_scope("pbmm.ifft"):
         if cfg.fft_backend == "pallas":
             shape = mod_spec.shape
@@ -232,9 +218,84 @@ def postprocess(
         # Reference takes |z| of the complex result (`FFT.compute:143-150`).
         # In the rfft path the result is exactly real, so |z| == |re|; the
         # full path's imaginary residue is fp noise (Hermitian symmetry).
-        chans = jnp.abs(rec)
-    else:
-        chans = jnp.real(rec) if jnp.iscomplexobj(rec) else rec
+        return jnp.abs(rec)
+    return jnp.real(rec) if jnp.iscomplexobj(rec) else rec
+
+
+def fused_reconstruct_ok(cfg: MagnifyConfig, spec_shape) -> bool:
+    """Whether the fully-fused phase->col-IFFT / row-IFFT->|z| Pallas pair
+    (`spectral/fused.py`) serves this config and working size."""
+    from pbmm_tpu.spectral.fused import fused_eligible
+
+    h, w = spec_shape[-2:]
+    return fused_eligible(cfg) and h % 128 == 0 and w % 128 == 0
+
+
+def amplify_reconstruct_fused(
+    cur_spec: jnp.ndarray, prev_spec: jnp.ndarray, cfg: MagnifyConfig
+) -> jnp.ndarray:
+    """Band/phase amplification fused into the column-IFFT kernel, plus the
+    row-IFFT fused with the |z| reduction: the modified spectrum and the
+    complex reconstruction never round-trip HBM (two kernels instead of
+    five elementwise+FFT passes).  Output = `reconstruct(amplify(...))`
+    up to f32 rounding (same math, one fewer HBM round trip).
+
+    Post-mortem of the rejected deeper fusion (kept for the record): a
+    variant that carried the previous frame's *row*-FFT and recomputed the
+    column stages of both frames inside one kernel (col-fwd x2 + phase +
+    col-inv, eliminating the standalone column-forward kernel's 64 MB
+    round trip) measured 495 fps vs this structure's 623 fps at 1080p —
+    three in-VMEM column-stage sweeps plus the phase chain exceed the
+    ~0.35 ms the saved bytes buy at the ~180 GB/s Pallas streaming rate.
+    Bandwidth is only worth trading for compute at <= 2 stage-sweeps per
+    kernel on this chip."""
+    from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
+
+    shape = cur_spec.shape
+    flat_c = cur_spec.reshape((-1,) + shape[-2:])
+    flat_p = prev_spec.reshape((-1,) + shape[-2:])
+    with jax.named_scope("pbmm.phase_ifft_fused"):
+        rre, rim = phase_col_ifft(
+            jnp.real(flat_c), jnp.imag(flat_c),
+            jnp.real(flat_p), jnp.imag(flat_p),
+            cfg, interpret=cfg.interpret_pallas,
+        )
+        rec = row_ifft_magnitude(
+            rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
+            interpret=cfg.interpret_pallas,
+        )
+    return rec.reshape(shape)
+
+
+def postprocess(
+    mod_spec: jnp.ndarray,
+    yiq_small: jnp.ndarray,
+    cfg: MagnifyConfig,
+) -> jnp.ndarray:
+    """(..., C, Hp, Wp) modified spectra + (..., 3, H, W) input-resolution
+    YIQ -> (..., 3, H, W) RGB (channels-first, already cropped).  Batch
+    dims flow through.
+
+    Mirrors PerformIFFT (magnitude reconstruction, `FFT.compute:143-150`) ->
+    ApplyAntiAliasing -> CombineYIQChannels -> YIQToRGB (saturate) ->
+    CropTexture (`MotionMagnificationProcessor.cs:196-205`).  The blur runs
+    at padded resolution (its taps near the crop edge read outside the
+    crop, as in the reference); the windowed chroma combine happens on the
+    crop region directly (identical values — see `preprocess`).
+    """
+    h, w = yiq_small.shape[-2:]
+    geom = geometry_for(h, w, cfg.pad_mode)
+    chans = reconstruct(mod_spec, cfg, geom.pad_w)
+    return posttail(chans, yiq_small, cfg)
+
+
+def posttail(
+    chans: jnp.ndarray, yiq_small: jnp.ndarray, cfg: MagnifyConfig
+) -> jnp.ndarray:
+    """Shared post stage on the real reconstruction: blur -> chroma combine
+    -> optional window compensation -> YIQ->RGB (saturate) -> crop."""
+    h, w = yiq_small.shape[-2:]
+    geom = geometry_for(h, w, cfg.pad_mode)
     with jax.named_scope("pbmm.blur"):
         # Bit-identical to blur-at-padded-res + crop, on ~1/4 the pixels
         # (halo analysis in `core/window.py::blur_then_crop`).
@@ -270,5 +331,8 @@ def magnify_frame_pair(
     """
     cur_spec, cur_yiq = preprocess(cur_rgb, cfg)
     prev_spec, _ = preprocess(prev_rgb, cfg)
+    if fused_reconstruct_ok(cfg, cur_spec.shape):
+        chans = amplify_reconstruct_fused(cur_spec, prev_spec, cfg)
+        return jnp.moveaxis(posttail(chans, cur_yiq, cfg), -3, -1)
     mod_spec, _ = amplify_spectrum(cur_spec, prev_spec, cfg)
     return jnp.moveaxis(postprocess(mod_spec, cur_yiq, cfg), -3, -1)

@@ -24,8 +24,11 @@ import jax.numpy as jnp
 from pbmm_tpu.config import MagnifyConfig
 from pbmm_tpu.core.complexop import combine
 from pbmm_tpu.engine.pipeline import (
+    amplify_reconstruct_fused,
     amplify_spectrum,
+    fused_reconstruct_ok,
     postprocess,
+    posttail,
     preprocess,
 )
 from pbmm_tpu.phase.temporal import TemporalState, temporal_init
@@ -67,10 +70,18 @@ def video_step(
         # (`MotionMagnificationProcessor.cs:151-156`).
         prev_spec, _ = preprocess(state.prev_frame, cfg)
 
-    mod_spec, new_temporal = amplify_spectrum(
-        cur_spec, prev_spec, cfg, state.temporal
-    )
-    out = jnp.moveaxis(postprocess(mod_spec, cur_yiq, cfg), -3, -1)
+    if fused_reconstruct_ok(cfg, cur_spec.shape):
+        # Phase pass fused into the column-IFFT kernel, |z| into the
+        # row-IFFT kernel (`spectral/fused.py`) — no modified spectrum or
+        # complex reconstruction in HBM.
+        chans = amplify_reconstruct_fused(cur_spec, prev_spec, cfg)
+        out = jnp.moveaxis(posttail(chans, cur_yiq, cfg), -3, -1)
+        new_temporal = state.temporal
+    else:
+        mod_spec, new_temporal = amplify_spectrum(
+            cur_spec, prev_spec, cfg, state.temporal
+        )
+        out = jnp.moveaxis(postprocess(mod_spec, cur_yiq, cfg), -3, -1)
 
     if cfg.cache_prev_spectrum:
         sre, sim = jnp.real(cur_spec), jnp.imag(cur_spec)

@@ -33,6 +33,7 @@ from pbmm_tpu.spectral.pallas_fft import (
     _ROW_BLOCK,
     _dif_twiddles,
     _fft_stages,
+    _intra_group_matrix,
     bitrev_freq_axis,
 )
 
@@ -52,6 +53,8 @@ def windowed_row_fft(y: jnp.ndarray, interpret: bool = False):
     b, h, w = y.shape
     twr_np, twi_np = _dif_twiddles(w, False)
     twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    gr_np, gi_np = _intra_group_matrix(w, False)
+    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
     wy = jnp.asarray(_hann_vec(h))[:, None]  # (H, 1) column
     wx = jnp.asarray(_hann_vec(w))[None, :]  # (1, W) row
@@ -68,17 +71,21 @@ def windowed_row_fft(y: jnp.ndarray, interpret: bool = False):
                            memory_space=pltpu.VMEM)
     tw_spec = pl.BlockSpec((stages, w), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
 
-    def kernel(y_ref, wy_ref, wx_ref, twr_ref, twi_ref, ore, oim):
+    def kernel(y_ref, wy_ref, wx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
+               ore, oim):
         yy = y_ref[0] * wy_ref[:] * wx_ref[:]
-        rr, ii = _fft_stages(yy, None, w, 1, False, twr_ref, twi_ref)
+        rr, ii = _fft_stages(yy, None, w, 1, False, twr_ref, twi_ref,
+                             gm=(gr_ref[...], gi_ref[...]))
         ore[0] = rr
         oim[0] = ii
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, wy_spec, wx_spec, tw_spec, tw_spec],
+        in_specs=[spec, wy_spec, wx_spec, tw_spec, tw_spec, gm_spec, gm_spec],
         out_specs=(spec, spec),
         out_shape=(
             jax.ShapeDtypeStruct(y.shape, jnp.float32),
@@ -88,7 +95,7 @@ def windowed_row_fft(y: jnp.ndarray, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(y, wy, wx, twr, twi)
+    )(y, wy, wx, twr, twi, gr, gi)
 
 
 def _mask_params(cfg):
@@ -202,6 +209,8 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
     b, h, w = cur_re.shape
     twr_np, twi_np = _dif_twiddles(h, True)
     twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    gr_np, gi_np = _intra_group_matrix(h, True)
+    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
     fy = jnp.asarray(bitrev_freq_axis(h))[:, None]  # (H, 1)
     fx = jnp.asarray(bitrev_freq_axis(w))[None, :]  # (1, W)
@@ -216,21 +225,25 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
                            memory_space=pltpu.VMEM)
     tw_spec = pl.BlockSpec((stages, h), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
 
     def kernel(cr_ref, ci_ref, pr_ref, pi_ref, fy_ref, fx_ref,
-               twr_ref, twi_ref, ore, oim):
+               twr_ref, twi_ref, gr_ref, gi_ref, ore, oim):
         mr, mi = _phase_block(
             cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
             fy_ref[:], fx_ref[:], cfg,
         )
-        rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref)
+        rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
+                             gm=(gr_ref[...], gi_ref[...]))
         ore[0] = rr
         oim[0] = ii
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, spec, spec, spec, fy_spec, fx_spec, tw_spec, tw_spec],
+        in_specs=[spec, spec, spec, spec, fy_spec, fx_spec, tw_spec, tw_spec,
+                  gm_spec, gm_spec],
         out_specs=(spec, spec),
         out_shape=(
             jax.ShapeDtypeStruct(cur_re.shape, jnp.float32),
@@ -240,7 +253,7 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(cur_re, cur_im, prev_re, prev_im, fy, fx, twr, twi)
+    )(cur_re, cur_im, prev_re, prev_im, fy, fx, twr, twi, gr, gi)
 
 
 @functools.partial(jax.jit, static_argnames=("magnitude", "interpret"))
@@ -251,6 +264,8 @@ def row_ifft_magnitude(re, im, magnitude: bool = True,
     b, h, w = re.shape
     twr_np, twi_np = _dif_twiddles(w, True)
     twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    gr_np, gi_np = _intra_group_matrix(w, True)
+    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
     scale = 1.0 / (h * w)
 
@@ -260,10 +275,13 @@ def row_ifft_magnitude(re, im, magnitude: bool = True,
                         memory_space=pltpu.VMEM)
     tw_spec = pl.BlockSpec((stages, w), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
 
-    def kernel(re_ref, im_ref, twr_ref, twi_ref, out_ref):
+    def kernel(re_ref, im_ref, twr_ref, twi_ref, gr_ref, gi_ref, out_ref):
         rr, ii = _fft_stages(re_ref[0], im_ref[0], w, 1, True,
-                             twr_ref, twi_ref)
+                             twr_ref, twi_ref,
+                             gm=(gr_ref[...], gi_ref[...]))
         if magnitude:
             out_ref[0] = jnp.sqrt(rr * rr + ii * ii) * scale
         else:
@@ -272,14 +290,14 @@ def row_ifft_magnitude(re, im, magnitude: bool = True,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, spec, tw_spec, tw_spec],
+        in_specs=[spec, spec, tw_spec, tw_spec, gm_spec, gm_spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(re.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(re, im, twr, twi)
+    )(re, im, twr, twi, gr, gi)
 
 
 def fused_eligible(cfg) -> bool:
