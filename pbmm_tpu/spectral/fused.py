@@ -119,6 +119,31 @@ def _mask_params(cfg):
     return tuple(out)
 
 
+@functools.lru_cache(maxsize=1)
+def _cos_poly_coeffs():
+    """Even-power polynomial coefficients approximating cos on [-pi, pi]
+    to ~1e-8 absolute (Chebyshev fit, f64 -> f32): the VPU's hardware cos
+    costs ~10x a multiply-add chain, and the raised-cosine band masks are
+    evaluated three times per bin per frame."""
+    xs = np.linspace(-np.pi, np.pi, 20001)
+    deg = 16
+    c = np.polynomial.chebyshev.Chebyshev.fit(xs, np.cos(xs), deg)
+    p = c.convert(kind=np.polynomial.Polynomial)
+    coef = p.coef.astype(np.float64)
+    even = coef[0::2]  # odd powers vanish by symmetry of the fit
+    return tuple(float(v) for v in even)
+
+
+def _cos_pi(u):
+    """cos(u) for u in [-pi, pi] via the even Horner polynomial."""
+    cs = _cos_poly_coeffs()
+    v = u * u
+    acc = jnp.float32(cs[-1])
+    for c in cs[-2::-1]:
+        acc = acc * v + jnp.float32(c)
+    return acc
+
+
 def _eval_mask(kind, lo, hi, freq):
     if kind == "zero":
         return jnp.zeros_like(freq)
@@ -130,48 +155,33 @@ def _eval_mask(kind, lo, hi, freq):
         t = jnp.clip((freq - lo) / (hi - lo), 0.0, 1.0)
         ss = 1.0 - t * t * (3.0 - 2.0 * t)
         return jnp.where(freq < lo, 1.0, jnp.where(freq < hi, ss, 0.0))
-    # raised-cosine band
-    t = (freq - lo) / (hi - lo)
-    band = 0.5 * (1.0 + jnp.cos(2.0 * jnp.pi * (t - 0.5)))
+    # raised-cosine band; clip keeps the poly argument in [-pi, pi]
+    # (out-of-band bins are zeroed by the select anyway)
+    t = jnp.clip((freq - lo) / (hi - lo), 0.0, 1.0)
+    band = 0.5 * (1.0 + _cos_pi(2.0 * jnp.pi * (t - 0.5)))
     return jnp.where((freq >= lo) & (freq <= hi), band, 0.0)
 
 
 def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
-    """The fused pyramid amplification on one VMEM block (re/im parts)."""
+    """The fused pyramid amplification on one VMEM block (re/im parts).
+
+    Transcendental budget (they cost ~10x a mul-add on the VPU): ONE rsqrt
+    for the unit rotation.  Magnitude gates compare squares
+    (|z|*m >= tau  <=>  |z|^2*m^2 >= tau^2, all factors non-negative) and
+    the raised-cosine band profile uses the `_cos_pi` polynomial."""
     freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
-    cur_mag = jnp.sqrt(cr * cr + ci * ci)
-    prev_mag = jnp.sqrt(pr * pr + pi_ * pi_)
-    tau = jnp.float32(cfg.magnitude_threshold)
+    min_mag2 = jnp.minimum(cr * cr + ci * ci, pr * pr + pi_ * pi_)
+    tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
 
     params = _mask_params(cfg)
-    use_steer = cfg.orientations > 1 and cfg.pyramid_levels >= 3
-    if use_steer:
-        theta = jnp.arctan2(
-            jnp.broadcast_to(fy_col, freq.shape),
-            jnp.broadcast_to(fx_row, freq.shape),
-        )
-        k_or = cfg.orientations
-        power = 2 * (k_or - 1)
-        raw = [jnp.abs(jnp.cos(theta - jnp.pi * k / k_or)) ** power
-               for k in range(k_or)]
-        tot = sum(raw)
-        tot = jnp.where(tot == 0.0, 1.0, tot)
-        ang = [a / tot for a in raw]
-
     total = jnp.zeros_like(freq)
-    amped = jnp.zeros_like(cur_mag)
+    amped = jnp.zeros_like(min_mag2)
     for kind, lo, hi, amp in params:
         m = _eval_mask(kind, lo, hi, freq)
         total = total + m
         if amp:
-            if use_steer:
-                for a in ang:
-                    ma = m * a
-                    gate = (cur_mag * ma >= tau) & (prev_mag * ma >= tau)
-                    amped = amped + jnp.where(gate, ma, 0.0)
-            else:
-                gate = (cur_mag * m >= tau) & (prev_mag * m >= tau)
-                amped = amped + jnp.where(gate, m, 0.0)
+            gate = min_mag2 * (m * m) >= tau2
+            amped = amped + jnp.where(gate, m, 0.0)
 
     # rotation e^{i s delta}
     s = float(cfg.phase_scale)
@@ -302,11 +312,20 @@ def row_ifft_magnitude(re, im, magnitude: bool = True,
 
 def fused_eligible(cfg) -> bool:
     """Whether the fully-fused spectral path serves this config (opt-in via
-    `use_fused_spectral`)."""
+    `use_fused_spectral`).
+
+    Radial banks and integer phase scales only: Mosaic has no atan2
+    lowering, so the steerable angular windows and the non-integer
+    rotation (`exp(i*s*atan2(...))`) cannot run inside the kernel — those
+    configs take the XLA procedural pass, which handles both."""
+    s = float(cfg.phase_scale)
     return (
         cfg.use_fused_spectral
         and cfg.fft_backend == "pallas"
         and cfg.mode == "pyramid"
         and cfg.temporal.mode == "two_frame"
         and not cfg.apply_magnitude_scale
+        and cfg.orientations <= 1
+        and s.is_integer()
+        and 0 <= s <= 64
     )
