@@ -86,16 +86,47 @@ def preprocess(
             chans_small = yiq
         else:
             chans_small = yiq[..., 0:1, :, :]  # Y plane only
+        if cfg.fft_backend == "pallas":
+            # Row-windowed forward: pad to the block-aligned content-row
+            # cover only (the other padded rows are exact zeros, with zero
+            # row-FFTs); the Hann window rides inside the row kernel and
+            # the zero rows are re-embedded in VMEM by the column kernel.
+            # Bit-exact vs the full-height chain at ~56% of the row work
+            # for 1080p.
+            from pbmm_tpu.spectral.fused import (
+                aligned_row_window,
+                col_fft_zero_padded,
+                windowed_row_fft,
+            )
+
+            r0, r1 = aligned_row_window(
+                geom.y0, geom.y0 + geom.in_h, geom.pad_h
+            )
+            pads = [(0, 0)] * (chans_small.ndim - 2) + [
+                (geom.y0 - r0, r1 - geom.y0 - geom.in_h),
+                (geom.x0, geom.pad_w - geom.in_w - geom.x0),
+            ]
+            slab = jnp.pad(chans_small, pads)
+            shape = slab.shape
+            flat = slab.reshape((-1,) + shape[-2:])
+            with jax.named_scope("pbmm.fft"):
+                re, im = windowed_row_fft(
+                    flat, pad_h=geom.pad_h, row0=r0,
+                    interpret=cfg.interpret_pallas,
+                )
+                re, im = col_fft_zero_padded(
+                    re, im, pad_h=geom.pad_h, row0=r0,
+                    interpret=cfg.interpret_pallas,
+                )
+            spec = jax.lax.complex(re, im).reshape(
+                shape[:-2] + (geom.pad_h, geom.pad_w)
+            )
+            return spec, yiq
         padded = pad_center(chans_small, geom)
         win = hann2d(geom.pad_h, geom.pad_w)
         chans = padded * win
         with jax.named_scope("pbmm.fft"):
-            if cfg.fft_backend == "pallas":
-                shape = chans.shape
-                flat = chans.reshape((-1,) + shape[-2:])
-                re, im = fft2_bitrev(flat, interpret=cfg.interpret_pallas)
-                spec = jax.lax.complex(re, im).reshape(shape)
-            elif cfg.fft_backend == "mxu":
+            if cfg.fft_backend == "mxu":
                 spec = rfft2_mxu(chans)
             elif cfg.use_rfft:
                 spec = rfft2_half(chans)
@@ -231,8 +262,21 @@ def fused_reconstruct_ok(cfg: MagnifyConfig, spec_shape) -> bool:
     return fused_eligible(cfg) and h % 128 == 0 and w % 128 == 0
 
 
+def blur_row_window(geom: Geometry, cfg: MagnifyConfig):
+    """Block-aligned spatial-row cover of crop region + blur halo: the only
+    inverse-transform rows the output depends on."""
+    from pbmm_tpu.core.window import blur_taps
+    from pbmm_tpu.spectral.fused import aligned_row_window
+
+    radius = (len(blur_taps(cfg.blur_size)) - 1) // 2
+    return aligned_row_window(
+        geom.y0 - radius, geom.y0 + geom.in_h + radius, geom.pad_h
+    )
+
+
 def amplify_reconstruct_fused(
-    cur_spec: jnp.ndarray, prev_spec: jnp.ndarray, cfg: MagnifyConfig
+    cur_spec: jnp.ndarray, prev_spec: jnp.ndarray, cfg: MagnifyConfig,
+    out_rows=None,
 ) -> jnp.ndarray:
     """Band/phase amplification fused into the column-IFFT kernel, plus the
     row-IFFT fused with the |z| reduction: the modified spectrum and the
@@ -252,19 +296,20 @@ def amplify_reconstruct_fused(
     from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
 
     shape = cur_spec.shape
+    r0, r1 = out_rows if out_rows is not None else (0, shape[-2])
     flat_c = cur_spec.reshape((-1,) + shape[-2:])
     flat_p = prev_spec.reshape((-1,) + shape[-2:])
     with jax.named_scope("pbmm.phase_ifft_fused"):
         rre, rim = phase_col_ifft(
             jnp.real(flat_c), jnp.imag(flat_c),
             jnp.real(flat_p), jnp.imag(flat_p),
-            cfg, interpret=cfg.interpret_pallas,
+            cfg, out_rows=out_rows, interpret=cfg.interpret_pallas,
         )
         rec = row_ifft_magnitude(
             rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
-            interpret=cfg.interpret_pallas,
+            pad_h=shape[-2], interpret=cfg.interpret_pallas,
         )
-    return rec.reshape(shape)
+    return rec.reshape(shape[:-2] + (r1 - r0, shape[-1]))
 
 
 def postprocess(
@@ -290,16 +335,27 @@ def postprocess(
 
 
 def posttail(
-    chans: jnp.ndarray, yiq_small: jnp.ndarray, cfg: MagnifyConfig
+    chans: jnp.ndarray, yiq_small: jnp.ndarray, cfg: MagnifyConfig,
+    row0: int = 0,
 ) -> jnp.ndarray:
     """Shared post stage on the real reconstruction: blur -> chroma combine
-    -> optional window compensation -> YIQ->RGB (saturate) -> crop."""
+    -> optional window compensation -> YIQ->RGB (saturate) -> crop.
+
+    `row0`: spatial-row offset of `chans` inside the padded frame when the
+    reconstruction was row-windowed (`blur_row_window`); 0 = full height.
+    """
     h, w = yiq_small.shape[-2:]
     geom = geometry_for(h, w, cfg.pad_mode)
+    # Row-windowed reconstructions shift the crop origin; the Hann-region
+    # window below still uses the TRUE padded geometry.
+    geom_rows = Geometry(
+        geom.in_h, geom.in_w, chans.shape[-2], geom.pad_w,
+        geom.y0 - row0, geom.x0,
+    )
     with jax.named_scope("pbmm.blur"):
         # Bit-identical to blur-at-padded-res + crop, on ~1/4 the pixels
         # (halo analysis in `core/window.py::blur_then_crop`).
-        chans = blur_then_crop(chans, geom, cfg.blur_size)  # (..., C, H, W)
+        chans = blur_then_crop(chans, geom_rows, cfg.blur_size)
 
     win_c = hann2d_region(geom)
     if cfg.chroma == "rgb":
@@ -332,7 +388,12 @@ def magnify_frame_pair(
     cur_spec, cur_yiq = preprocess(cur_rgb, cfg)
     prev_spec, _ = preprocess(prev_rgb, cfg)
     if fused_reconstruct_ok(cfg, cur_spec.shape):
-        chans = amplify_reconstruct_fused(cur_spec, prev_spec, cfg)
-        return jnp.moveaxis(posttail(chans, cur_yiq, cfg), -3, -1)
+        rows = blur_row_window(_geometry(cur_rgb.shape, cfg), cfg)
+        chans = amplify_reconstruct_fused(
+            cur_spec, prev_spec, cfg, out_rows=rows
+        )
+        return jnp.moveaxis(
+            posttail(chans, cur_yiq, cfg, row0=rows[0]), -3, -1
+        )
     mod_spec, _ = amplify_spectrum(cur_spec, prev_spec, cfg)
     return jnp.moveaxis(postprocess(mod_spec, cur_yiq, cfg), -3, -1)

@@ -73,9 +73,19 @@ def video_step(
     if fused_reconstruct_ok(cfg, cur_spec.shape):
         # Phase pass fused into the column-IFFT kernel, |z| into the
         # row-IFFT kernel (`spectral/fused.py`) — no modified spectrum or
-        # complex reconstruction in HBM.
-        chans = amplify_reconstruct_fused(cur_spec, prev_spec, cfg)
-        out = jnp.moveaxis(posttail(chans, cur_yiq, cfg), -3, -1)
+        # complex reconstruction in HBM; only the crop+blur-halo rows are
+        # ever written back (`blur_row_window`).
+        from pbmm_tpu.core.window import geometry_for
+        from pbmm_tpu.engine.pipeline import blur_row_window
+
+        geom = geometry_for(frame.shape[-3], frame.shape[-2], cfg.pad_mode)
+        rows = blur_row_window(geom, cfg)
+        chans = amplify_reconstruct_fused(
+            cur_spec, prev_spec, cfg, out_rows=rows
+        )
+        out = jnp.moveaxis(
+            posttail(chans, cur_yiq, cfg, row0=rows[0]), -3, -1
+        )
         new_temporal = state.temporal
     else:
         mod_spec, new_temporal = amplify_spectrum(

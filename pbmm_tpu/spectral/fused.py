@@ -43,20 +43,37 @@ def _hann_vec(n: int) -> np.ndarray:
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * i))).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def windowed_row_fft(y: jnp.ndarray, interpret: bool = False):
-    """(B, H, W) padded real Y -> row-axis FFT of (window * y), bitrev cols.
+def aligned_row_window(lo: int, hi: int, pad_h: int,
+                       block: int = _ROW_BLOCK):
+    """Smallest block-aligned [r0, r1) covering [lo, hi), clamped to the
+    padded height.  The spatial-row windowing backbone: at 1080p/2048^2
+    only 1152 of 2048 padded rows carry content (pad rows are exact zeros
+    pre-FFT) or survive the crop+blur-halo (post-IFFT), so the row-axis
+    kernels process 56% of the rows, bit-exactly."""
+    r0 = max(0, (lo // block) * block)
+    r1 = min(pad_h, -(-hi // block) * block)
+    return r0, r1
+
+
+@functools.partial(jax.jit, static_argnames=("pad_h", "row0", "interpret"))
+def windowed_row_fft(y: jnp.ndarray, pad_h: int = 0, row0: int = 0,
+                     interpret: bool = False):
+    """(B, Hc, W) content rows of the padded real Y plane -> row-axis FFT
+    of (window * y), bitrev cols.  `pad_h`/`row0` locate the Hc-row slab
+    inside the padded frame so the Hann row weights use absolute rows
+    (pad_h=0 means Hc == padded height).
 
     Fuses `WindowingFunction.shader`'s separable Hann (pixel-center uv)
     into the first FFT kernel — the windowed plane never exists in HBM.
     """
     b, h, w = y.shape
+    pad_h = pad_h or h
     twr_np, twi_np = _dif_twiddles(w, False)
     twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
     gr_np, gi_np = _intra_group_matrix(w, False)
     gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
-    wy = jnp.asarray(_hann_vec(h))[:, None]  # (H, 1) column
+    wy = jnp.asarray(_hann_vec(pad_h)[row0:row0 + h])[:, None]  # (Hc, 1)
     wx = jnp.asarray(_hann_vec(w))[None, :]  # (1, W) row
 
     block_h = min(_ROW_BLOCK, h)
@@ -96,6 +113,65 @@ def windowed_row_fft(y: jnp.ndarray, interpret: bool = False):
         ),
         interpret=interpret,
     )(y, wy, wx, twr, twi, gr, gi)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_h", "row0", "interpret"))
+def col_fft_zero_padded(re, im, pad_h: int, row0: int = 0,
+                        interpret: bool = False):
+    """(B, Hc, W) row-spectra of the content rows -> (B, pad_h, W) forward
+    column FFT, with the content slab zero-embedded at `row0` *inside the
+    kernel* (concat with VMEM zeros): the padded frame's zero rows have
+    zero row-FFTs, so they are never read from HBM.  Bit-exact vs the
+    full-height transform."""
+    b, h, w = re.shape
+    twr_np, twi_np = _dif_twiddles(pad_h, False)
+    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    gr_np, gi_np = _intra_group_matrix(pad_h, False)
+    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
+    stages = twr_np.shape[0]
+
+    block_w = min(_LANE_BLOCK, w)
+    grid = (b, pl.cdiv(w, block_w))
+    in_spec = pl.BlockSpec((1, h, block_w), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, pad_h, block_w), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, pad_h), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def embed(x):
+        parts = []
+        if row0 > 0:
+            parts.append(jnp.zeros((row0, x.shape[1]), jnp.float32))
+        parts.append(x)
+        if row0 + h < pad_h:
+            parts.append(jnp.zeros((pad_h - row0 - h, x.shape[1]),
+                                   jnp.float32))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
+
+    def kernel(re_ref, im_ref, twr_ref, twi_ref, gr_ref, gi_ref, ore, oim):
+        rr, ii = _fft_stages(embed(re_ref[0]), embed(im_ref[0]), pad_h, 0,
+                             False, twr_ref, twi_ref,
+                             gm=(gr_ref[...], gi_ref[...]))
+        ore[0] = rr
+        oim[0] = ii
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec, in_spec, tw_spec, tw_spec, gm_spec, gm_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, pad_h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, pad_h, w), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(re, im, twr, twi, gr, gi)
 
 
 def _mask_params(cfg):
@@ -211,12 +287,18 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
     return cr * g_re - ci * g_im, cr * g_im + ci * g_re
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "out_rows", "interpret"))
 def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
-                   interpret: bool = False):
+                   out_rows=None, interpret: bool = False):
     """(B, H, W) bitrev spectra pair -> column-axis IFFT of the
-    phase-amplified spectrum (one kernel)."""
+    phase-amplified spectrum (one kernel).
+
+    out_rows: optional static (r0, r1) — write back only those *spatial*
+    rows of the inverse transform (the crop+blur-halo cover); rows the
+    crop discards are computed in VMEM but never touch HBM."""
     b, h, w = cur_re.shape
+    r0, r1 = out_rows if out_rows is not None else (0, h)
     twr_np, twi_np = _dif_twiddles(h, True)
     twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
     gr_np, gi_np = _intra_group_matrix(h, True)
@@ -238,6 +320,9 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
     gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
 
+    out_spec = pl.BlockSpec((1, r1 - r0, block_w), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
     def kernel(cr_ref, ci_ref, pr_ref, pi_ref, fy_ref, fx_ref,
                twr_ref, twi_ref, gr_ref, gi_ref, ore, oim):
         mr, mi = _phase_block(
@@ -246,18 +331,18 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
         )
         rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
                              gm=(gr_ref[...], gi_ref[...]))
-        ore[0] = rr
-        oim[0] = ii
+        ore[0] = rr[r0:r1]
+        oim[0] = ii[r0:r1]
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec, spec, spec, spec, fy_spec, fx_spec, tw_spec, tw_spec,
                   gm_spec, gm_spec],
-        out_specs=(spec, spec),
+        out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct(cur_re.shape, jnp.float32),
-            jax.ShapeDtypeStruct(cur_re.shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -266,18 +351,21 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
     )(cur_re, cur_im, prev_re, prev_im, fy, fx, twr, twi, gr, gi)
 
 
-@functools.partial(jax.jit, static_argnames=("magnitude", "interpret"))
-def row_ifft_magnitude(re, im, magnitude: bool = True,
+@functools.partial(jax.jit,
+                   static_argnames=("magnitude", "pad_h", "interpret"))
+def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
                        interpret: bool = False):
-    """(B, H, W) -> row-axis IFFT, normalized by 1/(H*W), reduced to |z|
-    (or Re z) — only one real plane is written back."""
+    """(B, Hb, W) -> row-axis IFFT, normalized by 1/(pad_h*W), reduced to
+    |z| (or Re z) — only one real plane is written back.  Hb may be a
+    row-windowed subset of the padded height; `pad_h` (default Hb) is the
+    true transform height for the normalization."""
     b, h, w = re.shape
     twr_np, twi_np = _dif_twiddles(w, True)
     twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
     gr_np, gi_np = _intra_group_matrix(w, True)
     gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
-    scale = 1.0 / (h * w)
+    scale = 1.0 / ((pad_h or h) * w)
 
     block_h = min(_ROW_BLOCK, h)
     grid = (b, pl.cdiv(h, block_h))

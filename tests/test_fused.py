@@ -91,3 +91,29 @@ def test_fused_non_integer_scale():
         magnify_clip_batched(frames, GENERIC.replace(phase_scale=2.5))
     )
     assert psnr(out_f, out_g) > 70.0
+
+
+def test_row_windowed_parity_nonsquare(rng):
+    """A frame whose padded geometry activates real row windowing
+    (150x500 -> 512x512 pad, content cover rows [128, 384)): the
+    row-windowed fused path must match the generic XLA pipeline.
+    Guards `aligned_row_window` / `col_fft_zero_padded` /
+    `phase_col_ifft(out_rows=...)` end to end."""
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import blur_row_window, magnify_frame_pair
+    from pbmm_tpu.spectral.fused import aligned_row_window
+
+    geom = geometry_for(150, 500)
+    assert (geom.pad_h, geom.pad_w) == (512, 512)
+    r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
+    assert 0 < r0 and r1 < 512  # genuinely windowed
+    b0, b1 = blur_row_window(geom, FUSED)
+    assert (b0, b1) != (0, 512)
+
+    prev = rng.random((150, 500, 3)).astype(np.float32)
+    cur = np.clip(prev + 0.01 * rng.random((150, 500, 3)), 0, 1).astype(
+        np.float32
+    )
+    out_f = np.asarray(magnify_frame_pair(prev, cur, FUSED))
+    out_g = np.asarray(magnify_frame_pair(prev, cur, GENERIC))
+    assert psnr(out_f, out_g) > 70.0
