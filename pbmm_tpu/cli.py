@@ -69,14 +69,66 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print a JSON line of timing/shape stats to stderr")
     p.add_argument("--fast", action="store_true",
                    help="use the fastest-known TPU configuration "
-                        "(Pallas FFT backend); PSNR-equivalent output")
+                        "(fused Pallas spectral path); PSNR-equivalent "
+                        "output")
+    # --- full inspector surface (quirk switches + backend selection) ---
+    p.add_argument("--no-magnify", action="store_true",
+                   help="applyMotionMagnification=false bypass: frames "
+                        "pass through untouched (A/B output)")
+    p.add_argument("--fft-backend", default=None,
+                   choices=["xla", "pallas", "mxu"],
+                   help="spectral backend (default: config default / "
+                        "--fast); pallas implies --full-spectrum")
+    p.add_argument("--full-spectrum", action="store_true",
+                   help="use_rfft=False: literal full-complex spectra "
+                        "instead of the Hermitian half")
+    p.add_argument("--blur-size", type=float, default=0.5,
+                   help="the anti-aliasing Gaussian's _BlurSize "
+                        "(reference fixes 0.5)")
+    p.add_argument("--compensate-window", action="store_true",
+                   help="divide the Hann vignette back out (the reference "
+                        "never does)")
+    p.add_argument("--no-cache-prev-spectrum", action="store_true",
+                   help="re-FFT the previous frame every frame, as the "
+                        "reference literally does")
+    p.add_argument("--apply-magnitude-scale", action="store_true",
+                   help="apply the magnitude scale the reference computes "
+                        "but drops (PhaseDifferenceComputeShader:169-178)")
+    p.add_argument("--magnitude-scale", type=float, default=1.0)
+    p.add_argument("--yiq-gains", type=float, nargs=3, default=None,
+                   metavar=("Y", "I", "Q"),
+                   help="per-channel YIQ gains (enables the reference's "
+                        "inert _YIQADJUSTMENT_ON path)")
+    p.add_argument("--trace", metavar="LOGDIR",
+                   help="capture a jax.profiler Perfetto/XProf trace of "
+                        "the run into LOGDIR")
     return p
 
 
 def config_from_args(args):
     from pbmm_tpu.config import MagnifyConfig, TemporalConfig
 
+    backend_kw = {}
+    if getattr(args, "fft_backend", None):
+        backend_kw["fft_backend"] = args.fft_backend
+        if args.fft_backend == "pallas":
+            backend_kw["use_rfft"] = False
+        elif args.fft_backend == "mxu":
+            backend_kw["use_rfft"] = True
+    if getattr(args, "full_spectrum", False):
+        backend_kw["use_rfft"] = False
     return MagnifyConfig(
+        apply_motion_magnification=not getattr(args, "no_magnify", False),
+        blur_size=getattr(args, "blur_size", 0.5),
+        compensate_window=getattr(args, "compensate_window", False),
+        cache_prev_spectrum=not getattr(args, "no_cache_prev_spectrum",
+                                        False),
+        apply_magnitude_scale=getattr(args, "apply_magnitude_scale", False),
+        magnitude_scale=getattr(args, "magnitude_scale", 1.0),
+        yiq_gains=tuple(args.yiq_gains) if getattr(args, "yiq_gains", None)
+        else (1.0, 1.0, 1.0),
+        apply_yiq_gains=bool(getattr(args, "yiq_gains", None)),
+        **backend_kw,
         mode=args.mode,
         phase_scale=args.phase_scale,
         pyramid_levels=args.levels,
@@ -146,6 +198,18 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
     if args.fast:
         cfg = cfg.tuned_for_tpu()
+
+    if args.trace:
+        from pbmm_tpu.utils.profiling import trace
+
+        with trace(args.trace):
+            return _run(args, frames, cfg)
+    return _run(args, frames, cfg)
+
+
+def _run(args, frames, cfg) -> int:
+    from pbmm_tpu.io.video import save_video
+
     t0 = time.perf_counter()
 
     if args.debug_view:

@@ -92,6 +92,10 @@ class MagnifyConfig:
 
     # --- mode select ---
     mode: str = "pyramid"  # "pyramid" | "standard"
+    apply_motion_magnification: bool = True  # False = full passthrough, the
+    #   reference's applyMotionMagnification=false bypass: OnRenderImage
+    #   blits source->destination untouched while still tracking the
+    #   previous frame (`MotionMagnificationProcessor.cs:13,126-139,142`)
 
     # --- shared phase parameters ---
     phase_scale: float = 10.0
@@ -127,6 +131,14 @@ class MagnifyConfig:
     reconstruct: str = "magnitude"  # "magnitude" | "real"
     cache_prev_spectrum: bool = True
     compensate_window: bool = False
+    yiq_gains: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    apply_yiq_gains: bool = False  # the reference's per-channel YIQ
+    #   multipliers are INERT: the `_YIQADJUSTMENT_ON` shader keyword is
+    #   never enabled and the multipliers are fixed at 1.0
+    #   (`YIQToRGB.shader:20,65-70`, `MotionMagnificationProcessor.cs:
+    #   24-26,200-204`).  Default False reproduces that; True applies the
+    #   gains to the combined YIQ right before the RGB matrix, exactly
+    #   where the shader would.
 
     # --- backend ---
     fft_backend: str = "xla"  # "xla" (jnp.fft) | "pallas" (fused radix-2

@@ -371,6 +371,12 @@ def posttail(
     if cfg.compensate_window:
         out_yiq = out_yiq / jnp.maximum(win_c, 1e-3)
 
+    if cfg.apply_yiq_gains:
+        # The reference's (never-enabled) `_YIQADJUSTMENT_ON` channel gains
+        # multiply YIQ right before the RGB matrix (`YIQToRGB.shader:65-70`).
+        gains = jnp.asarray(cfg.yiq_gains, jnp.float32).reshape((3, 1, 1))
+        out_yiq = out_yiq * gains
+
     return yiq_to_rgb(out_yiq, saturate=True, axis=-3)
 
 
@@ -385,6 +391,9 @@ def magnify_frame_pair(
       prev_rgb, cur_rgb: (H, W, 3) f32 RGB in [0, 1].
     Returns (H, W, 3) f32 RGB.
     """
+    if not cfg.apply_motion_magnification:
+        # Reference bypass (`MotionMagnificationProcessor.cs:126-139`).
+        return cur_rgb.astype(jnp.float32)
     cur_spec, cur_yiq = preprocess(cur_rgb, cfg)
     prev_spec, _ = preprocess(prev_rgb, cfg)
     if fused_reconstruct_ok(cfg, cur_spec.shape):

@@ -140,6 +140,23 @@ def magnify_video(
     with the same shapes/config dispatch without retracing.
     """
     frames = jnp.asarray(frames)
+    if not cfg.apply_motion_magnification:
+        # Reference bypass: frames pass through untouched, but the previous
+        # frame keeps being tracked so re-enabling magnification mid-stream
+        # pairs with the true predecessor
+        # (`MotionMagnificationProcessor.cs:126-139,142`).
+        new_state = _bypass_state(frames, cfg)
+        if state is not None:
+            new_state = new_state._replace(
+                frame_idx=state.frame_idx + jnp.int32(frames.shape[0])
+            )
+        return frames.astype(jnp.float32), new_state
     if state is None:
         return _magnify_bootstrap(frames, cfg)
     return _magnify_chunk(frames, state, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _bypass_state(frames, cfg: MagnifyConfig) -> VideoState:
+    state = video_init(frames[-1], cfg)
+    return state._replace(frame_idx=jnp.int32(frames.shape[0]))

@@ -99,6 +99,9 @@ def _magnify_clip_batched_impl(
     if cfg.temporal.mode != "two_frame":
         raise ValueError("batched path requires the two-frame temporal mode; "
                          "use engine.video.magnify_video for IIR modes")
+    if not cfg.apply_motion_magnification:
+        # Reference bypass (`MotionMagnificationProcessor.cs:126-139`).
+        return frames.astype(jnp.float32)
     from pbmm_tpu.spectral.fused import fused_eligible
 
     if fused_eligible(cfg):

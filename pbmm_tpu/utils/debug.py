@@ -33,12 +33,40 @@ def phase_view(spec: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(jnp.angle(spec)) / (jnp.pi / 2.0)
 
 
-def split_screen(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-    """Side-by-side composite: each input's full image squeezed into one
-    half by 2x horizontal decimation (`ShowSplitScreen` maps full texcoords
-    onto half-screen quads with point-ish sampling,
-    `MotionMagnificationProcessor.cs:458-487`)."""
-    return jnp.concatenate([left[..., ::2], right[..., ::2]], axis=-1)
+def bilinear_resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """GPU-convention bilinear resample of the last two axes: destination
+    pixel centers map to source texture coordinates (u, v) = ((x+0.5)/W_out,
+    (y+0.5)/H_out), sampled at source texel grid (u*W_src - 0.5) with
+    clamp-to-edge — Unity's default sampler state for RenderTextures."""
+    src_h, src_w = img.shape[-2:]
+    sy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * src_h - 0.5
+    sx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * src_w - 0.5
+    y0 = jnp.clip(jnp.floor(sy), 0, src_h - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(sx), 0, src_w - 1).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, src_h - 1)
+    x1 = jnp.minimum(x0 + 1, src_w - 1)
+    fy = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+    fx = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    top = (img[..., y0, :][..., :, x0] * (1 - fx)
+           + img[..., y0, :][..., :, x1] * fx)
+    bot = (img[..., y1, :][..., :, x0] * (1 - fx)
+           + img[..., y1, :][..., :, x1] * fx)
+    return top * (1 - fy[..., :, None]) + bot * fy[..., :, None]
+
+
+def split_screen(left: jnp.ndarray, right: jnp.ndarray,
+                 out_h: int = 0, out_w: int = 0) -> jnp.ndarray:
+    """Side-by-side composite: each input's FULL texture is bilinearly
+    resampled into one half-width quad of the output, exactly as
+    `ShowSplitScreen` draws each texture over a half-screen ortho quad with
+    full [0,1] texcoords (`MotionMagnificationProcessor.cs:458-487`)."""
+    out_h = out_h or left.shape[-2]
+    out_w = out_w or left.shape[-1]
+    return jnp.concatenate(
+        [bilinear_resize(left, out_h, out_w // 2),
+         bilinear_resize(right, out_h, out_w - out_w // 2)],
+        axis=-1,
+    )
 
 
 def spatial_frequency_map(pad_h: int, pad_w: int) -> jnp.ndarray:

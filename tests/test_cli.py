@@ -65,6 +65,59 @@ def test_cli_rejects_bad_shape(tmp_path, capsys):
     assert "expected (T, H, W, 3)" in capsys.readouterr().err
 
 
+def test_cli_no_magnify_passthrough(tmp_path):
+    clip = oscillating_gaussian_blob(height=32, width=32, frames=4)
+    inp, outp = tmp_path / "in.npy", tmp_path / "out.npy"
+    np.save(inp, clip)
+    rc = main(["--input", str(inp), "--output", str(outp), "--no-magnify"])
+    assert rc == 0
+    np.testing.assert_allclose(np.load(outp), clip, atol=1e-6)
+
+
+def test_cli_quirk_and_backend_flags(tmp_path):
+    """Every inspector-surface flag drives the config it names."""
+    from pbmm_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--output", "o.npy", "--fft-backend", "pallas", "--blur-size",
+         "0.75", "--compensate-window", "--no-cache-prev-spectrum",
+         "--apply-magnitude-scale", "--magnitude-scale", "1.5",
+         "--yiq-gains", "1.1", "0.9", "1.0"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.fft_backend == "pallas" and cfg.use_rfft is False
+    assert cfg.blur_size == 0.75
+    assert cfg.compensate_window is True
+    assert cfg.cache_prev_spectrum is False
+    assert cfg.apply_magnitude_scale is True and cfg.magnitude_scale == 1.5
+    assert cfg.apply_yiq_gains is True
+    assert cfg.yiq_gains == (1.1, 0.9, 1.0)
+
+    args = build_parser().parse_args(["--output", "o.npy", "--full-spectrum"])
+    assert config_from_args(args).use_rfft is False
+
+
+def test_cli_full_spectrum_runs(tmp_path):
+    clip = oscillating_gaussian_blob(height=24, width=24, frames=3)
+    inp, outp = tmp_path / "in.npy", tmp_path / "out.npy"
+    np.save(inp, clip)
+    rc = main(["--input", str(inp), "--output", str(outp),
+               "--full-spectrum", "--blur-size", "0.5"])
+    assert rc == 0
+    assert np.isfinite(np.load(outp)).all()
+
+
+def test_cli_trace_writes_profile(tmp_path):
+    clip = oscillating_gaussian_blob(height=24, width=24, frames=3)
+    inp, outp = tmp_path / "in.npy", tmp_path / "out.npy"
+    np.save(inp, clip)
+    logdir = tmp_path / "trace"
+    rc = main(["--input", str(inp), "--output", str(outp),
+               "--trace", str(logdir)])
+    assert rc == 0
+    assert logdir.exists() and any(logdir.rglob("*"))
+
+
 def test_save_load_roundtrip_uint8(tmp_path):
     frames = (np.random.default_rng(0).random((2, 4, 4, 3)) * 255).astype(
         np.uint8

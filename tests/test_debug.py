@@ -39,6 +39,40 @@ def test_split_screen_shape():
     assert s[:, :8].min() == 1.0 and s[:, 8:].max() == 0.0
 
 
+def test_bilinear_resize_exact_values():
+    """Pin the GPU sampling convention: dest pixel centers -> (u,v) in
+    [0,1] -> source texel grid at u*W-0.5 with clamp-to-edge, which is
+    exactly how `ShowSplitScreen` draws a full texture onto a half-screen
+    quad (`MotionMagnificationProcessor.cs:458-487`)."""
+    from pbmm_tpu.utils.debug import bilinear_resize
+
+    src = jnp.arange(4.0).reshape(1, 4)  # [0, 1, 2, 3] along x
+    got = np.asarray(bilinear_resize(src, 1, 2))
+    # out x=0 -> u=0.25 -> sx=0.5 -> (src[0]+src[1])/2 = 0.5
+    # out x=1 -> u=0.75 -> sx=2.5 -> (src[2]+src[3])/2 = 2.5
+    np.testing.assert_allclose(got, [[0.5, 2.5]], atol=1e-6)
+
+    # a linear ramp resamples to the same linear ramp (bilinear is exact
+    # on affine signals away from the clamped border)
+    ramp = jnp.arange(32.0).reshape(1, 32) / 31.0
+    up = np.asarray(bilinear_resize(ramp, 1, 64))[0]
+    diffs = np.diff(up[2:-2])
+    np.testing.assert_allclose(diffs, diffs[0], atol=1e-5)
+
+
+def test_split_screen_resamples_full_textures():
+    """Each half must contain the WHOLE input texture (bilinearly squeezed
+    2:1), not its decimated half: content at the input's right edge must
+    appear at each half's right edge."""
+    left = jnp.zeros((8, 16)).at[:, -1].set(1.0)
+    right = jnp.zeros((8, 16)).at[:, 0].set(1.0)
+    s = np.asarray(split_screen(left, right))
+    assert s.shape == (8, 16)
+    assert s[:, 7].max() > 0.4  # left texture's right edge, end of half 1
+    assert s[:, 8].max() > 0.4  # right texture's left edge, start of half 2
+    assert s[:, 1:6].max() < 1e-6  # interior of half 1 stays empty
+
+
 def test_spatial_frequency_map_center_zero():
     m = np.asarray(spatial_frequency_map(32, 32))
     assert m[16, 16] == 0.0

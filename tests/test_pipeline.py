@@ -133,6 +133,64 @@ class TestExtensions:
         assert np.isfinite(out).all()
 
 
+class TestQuirkSwitches:
+    def test_no_magnify_bypass_pair(self):
+        # applyMotionMagnification=false: source blits through untouched
+        # (`MotionMagnificationProcessor.cs:126-139`).
+        cfg = MagnifyConfig(apply_motion_magnification=False)
+        out = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg))
+        np.testing.assert_allclose(out, FRAMES[2], atol=0)
+
+    def test_no_magnify_bypass_video_and_state_tracking(self):
+        # The bypass still tracks the previous frame so re-enabling mid-
+        # stream pairs with the true predecessor (`:142` runs either way).
+        cfg_off = MagnifyConfig(apply_motion_magnification=False)
+        cfg_on = MagnifyConfig()
+        out, st = magnify_video(FRAMES[:3], cfg_off)
+        np.testing.assert_allclose(np.asarray(out), FRAMES[:3], atol=0)
+        assert int(st.frame_idx) == 3
+        rest, _ = magnify_video(FRAMES[3:], cfg_on, state=st)
+        # frame 3 must be magnified against frame 2, i.e. match the whole-
+        # video run's frame 3.
+        whole, _ = magnify_video(FRAMES, cfg_on)
+        np.testing.assert_allclose(
+            np.asarray(rest[0]), np.asarray(whole[3]), atol=1e-5
+        )
+
+    def test_no_magnify_bypass_batched(self):
+        from pbmm_tpu.parallel.sharding import magnify_clip_batched
+
+        cfg = MagnifyConfig(apply_motion_magnification=False)
+        out = np.asarray(magnify_clip_batched(FRAMES, cfg))
+        np.testing.assert_allclose(out, FRAMES, atol=0)
+
+    def test_yiq_gains_unity_is_identity(self):
+        cfg_off = MagnifyConfig()
+        cfg_on = MagnifyConfig(apply_yiq_gains=True, yiq_gains=(1.0, 1.0, 1.0))
+        a = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg_off))
+        b = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg_on))
+        np.testing.assert_allclose(a, b, atol=0)
+
+    def test_yiq_gains_zero_blacks_out(self):
+        # Gains multiply YIQ right before the RGB matrix
+        # (`YIQToRGB.shader:65-70`); zero gains -> zero YIQ -> black.
+        cfg = MagnifyConfig(apply_yiq_gains=True, yiq_gains=(0.0, 0.0, 0.0))
+        out = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg))
+        np.testing.assert_allclose(out, 0.0, atol=1e-7)
+
+    def test_yiq_luma_gain_scales_brightness(self):
+        # Doubling only Y must brighten: RGB = M @ (2Y, I, Q) with M's first
+        # column all ones -> output = saturate(base + Y).
+        from pbmm_tpu.core.color import rgb_to_yiq, yiq_to_rgb
+
+        cfg = MagnifyConfig(apply_yiq_gains=True, yiq_gains=(2.0, 1.0, 1.0),
+                            phase_scale=0.0, compensate_window=False)
+        base_cfg = MagnifyConfig(phase_scale=0.0)
+        out2 = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], cfg))
+        out1 = np.asarray(magnify_frame_pair(FRAMES[1], FRAMES[2], base_cfg))
+        assert out2.mean() > out1.mean()
+
+
 class TestRfftPath:
     def test_rfft_equals_full_fft(self):
         # The half-spectrum path must match the full-spectrum chain
