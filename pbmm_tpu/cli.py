@@ -233,6 +233,24 @@ def _run(args, frames, cfg) -> int:
         if not args.input:
             print("error: --stream requires --input", file=sys.stderr)
             return 2
+        if args.checkpoint:
+            # Resume loop: incremental output + atomic per-chunk state, so
+            # re-running this exact command after a kill continues from the
+            # last completed chunk (SURVEY.md §5 failure row).
+            from pbmm_tpu.io.stream import stream_magnify_resumable
+
+            n = stream_magnify_resumable(
+                args.input, args.output, cfg,
+                chunk_frames=args.chunk_frames,
+                checkpoint=args.checkpoint,
+            )
+            if args.stats:
+                print(json.dumps({"frames": n,
+                                  "seconds": round(time.perf_counter() - t0,
+                                                   3),
+                                  "engine": "stream_resumable"}),
+                      file=sys.stderr)
+            return 0
         from pbmm_tpu.io.stream import stream_magnify
 
         out = np.concatenate(

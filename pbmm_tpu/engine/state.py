@@ -9,6 +9,8 @@ with identical results (asserted by tests/test_checkpoint.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pbmm_tpu.engine.video import VideoState
@@ -16,8 +18,11 @@ from pbmm_tpu.phase.temporal import TemporalState
 
 
 def save_state(state: VideoState, path: str) -> None:
+    """Atomic write: a kill mid-save never leaves a torn checkpoint — the
+    previous complete one survives (the resume loop depends on this)."""
+    tmp = path + ".tmp.npz"
     np.savez(
-        path,
+        tmp,
         prev_spec_re=np.asarray(state.prev_spec_re),
         prev_spec_im=np.asarray(state.prev_spec_im),
         prev_frame=np.asarray(state.prev_frame),
@@ -25,6 +30,7 @@ def save_state(state: VideoState, path: str) -> None:
         lp_slow=np.asarray(state.temporal.lp_slow),
         frame_idx=np.asarray(state.frame_idx),
     )
+    os.replace(tmp, path)
 
 
 def load_state(path: str) -> VideoState:

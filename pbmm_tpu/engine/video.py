@@ -45,7 +45,12 @@ class VideoState(NamedTuple):
 
 
 def video_init(first_frame: jnp.ndarray, cfg: MagnifyConfig) -> VideoState:
-    """Bootstrap state from frame 0."""
+    """Bootstrap state from frame 0.
+
+    `frame_idx` counts frames consumed/emitted so far (so it starts at 1:
+    frame 0 has passed through) — the resume driver
+    (`io.stream.stream_magnify_resumable`) uses it as the output offset.
+    """
     spec, _ = preprocess(first_frame, cfg)
     if cfg.cache_prev_spectrum:
         sre, sim = jnp.real(spec), jnp.imag(spec)
@@ -54,7 +59,7 @@ def video_init(first_frame: jnp.ndarray, cfg: MagnifyConfig) -> VideoState:
         sre = sim = jnp.zeros((0, 0, 0), jnp.float32)
         pframe = first_frame.astype(jnp.float32)
     tstate = temporal_init(spec.shape, cfg.temporal)
-    return VideoState(sre, sim, pframe, tstate, jnp.int32(0))
+    return VideoState(sre, sim, pframe, tstate, jnp.int32(1))
 
 
 def video_step(

@@ -43,6 +43,16 @@ def load_video(path: str) -> np.ndarray:
         ) from e
 
 
+def video_shape(path: str) -> tuple:
+    """(T, H, W, C) of a video file without loading the pixel data when the
+    container allows it (.npy header / memmap); others fall back to a full
+    read."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        return tuple(np.load(path, mmap_mode="r").shape)
+    return tuple(load_video(path).shape)
+
+
 def save_video(path: str, frames: np.ndarray) -> None:
     """Save (T, H, W, 3) float frames; .npy/.npz as f32, containers via
     imageio as uint8."""
