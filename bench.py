@@ -83,6 +83,54 @@ def main():
     fps = t * reps / dt
     log(f"steady: {dt:.3f}s for {t * reps} frames -> {fps:.2f} fps")
 
+    # --- single-frame latency (the reference's real contract: an
+    # interactive per-frame post-effect, `OnRenderImage`,
+    # `MotionMagnificationProcessor.cs:101`).  Batch=1 chunks threaded
+    # through the carried state: a strict frame-after-frame dependency
+    # chain, timed end-to-end and amortized over the chain (per-dispatch
+    # tunnel RPC overlaps device compute in steady state).
+    one = frames_dev[:1]
+    out1, lstate = magnify_video(one, cfg, state)  # compile T=1 chunk
+    sync(out1)
+    n_lat = 64
+    t0 = time.perf_counter()
+    for _ in range(n_lat):
+        out1, lstate = magnify_video(one, cfg, lstate)
+    sync(out1)
+    lat_ms = (time.perf_counter() - t0) / n_lat * 1e3
+    log(f"latency: {lat_ms:.3f} ms/frame steady-state at batch=1 "
+        f"({1e3 / lat_ms:.1f} fps single-stream)")
+
+    # --- roofline accounting (SURVEY.md §5 tracing row; full measured
+    # per-stage table: benchmarks/roofline.py + ROOFLINE.md).  The analytic
+    # per-stage model is free; set PBMM_ROOFLINE=1 for the measured table
+    # (adds ~12 loop-kernel compiles on a cold cache).
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.roofline import (
+            V5E_HBM_GBPS,
+            hot_path_stages,
+            print_table,
+            roofline_table,
+        )
+
+        stages = hot_path_stages(h, w, cfg)
+        tot_bytes = sum(bi + bo for _, bi, bo, _ in stages)
+        roof_ms = tot_bytes / (V5E_HBM_GBPS * 1e9) * 1e3
+        meas_ms = 1e3 / fps
+        log(f"roofline: {tot_bytes / 1e6:.1f} HBM MB/frame -> "
+            f">= {roof_ms:.3f} ms/frame at {V5E_HBM_GBPS:.0f} GB/s; "
+            f"measured {meas_ms:.3f} ms/frame = "
+            f"{100 * roof_ms / meas_ms:.1f}% of the HBM roofline")
+        for name, bi, bo, fl in stages:
+            log(f"  {name:34s} {(bi + bo) / 1e6:7.1f} MB  "
+                f">= {(bi + bo) / (V5E_HBM_GBPS * 1e9) * 1e3:6.3f} ms")
+        if os.environ.get("PBMM_ROOFLINE") == "1":
+            rows, summary = roofline_table(h, w, cfg, reps=16)
+            print_table(rows, summary, file=sys.stderr)
+    except Exception as e:  # roofline must never sink the headline metric
+        log(f"roofline accounting skipped: {e!r}")
+
     print(
         json.dumps(
             {

@@ -75,3 +75,28 @@ def test_tuned_for_tpu_config():
     assert cfg.fft_backend == "pallas" and not cfg.use_rfft
     # quality-affecting params unchanged
     assert cfg.phase_scale == 10.0 and cfg.pyramid_levels == 5
+
+
+def test_roofline_analytic_model():
+    """The roofline byte model must track the real geometry: stages,
+    positive bytes, and the phase stage reading exactly two full complex
+    spectra (4 f32 planes) while writing only the row-windowed halo."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from benchmarks.roofline import hot_path_stages
+    from pbmm_tpu.config import MagnifyConfig
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import blur_row_window
+
+    cfg = MagnifyConfig().tuned_for_tpu()
+    stages = hot_path_stages(1080, 1920, cfg)
+    assert len(stages) == 6
+    assert all(bi > 0 and bo > 0 and fl > 0 for _, bi, bo, fl in stages)
+
+    geom = geometry_for(1080, 1920, cfg.pad_mode)
+    b0, b1 = blur_row_window(geom, cfg)
+    name, bi, bo, _ = stages[3]
+    assert "phase" in name
+    assert bi == 4 * geom.pad_h * geom.pad_w * 4
+    assert bo == 2 * (b1 - b0) * geom.pad_w * 4
