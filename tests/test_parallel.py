@@ -53,6 +53,32 @@ def test_sharded_frame_axis_only():
     assert psnr(out[0], np.asarray(ref)) > 70.0
 
 
+TUNED = MagnifyConfig(interpret_pallas=True).tuned_for_tpu()
+
+
+def test_sharded_tuned_config_equals_unsharded():
+    """The shipping fast config (fused Pallas spectral path) under the
+    ("data", "frame") mesh — the combination VERDICT r1 flagged as never
+    pinned.  Interpret mode on CPU; the real-chip leg runs in bench."""
+    batch = np.stack([CLIP, CLIP[:, ::-1]])
+    mesh = make_mesh((2, 4))
+    out_sh = np.asarray(magnify_batch_sharded(batch, TUNED, mesh))
+    out_ref = np.stack(
+        [np.asarray(magnify_clip_batched(v, TUNED)) for v in batch]
+    )
+    assert psnr(out_sh, out_ref) > 70.0
+
+
+def test_sharded_tuned_frame_axis_matches_default_path():
+    """Tuned fused path, frames over all 8 devices, vs the default XLA
+    path unsharded: cross-backend, cross-sharding agreement."""
+    batch = CLIP[None]
+    mesh = make_mesh((1, 8))
+    out = np.asarray(magnify_batch_sharded(batch, TUNED, mesh))
+    ref, _ = magnify_video(CLIP, CFG)
+    assert psnr(out[0], np.asarray(ref)) > 70.0
+
+
 def test_batched_rejects_iir_mode():
     from pbmm_tpu.config import TemporalConfig
 
