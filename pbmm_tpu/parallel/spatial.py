@@ -1,4 +1,4 @@
-"""Spatially-sharded magnification: one frame's ROWS sharded across chips.
+"""Spatially-sharded magnification: frame ROWS sharded across chips.
 
 The tensor-parallel analog for frames too large (or too latency-critical)
 for one chip: the 2D FFT becomes
@@ -14,8 +14,19 @@ on natural-layout spectrum shards (masks evaluated procedurally at each
 shard's global frequencies); the inverse mirrors the forward; the 5-tap
 blur needs a 2-row halo exchange with ppermute at shard boundaries.
 
-Implemented with `shard_map` over a 1D ("rows",) mesh; tested against the
-unsharded pipeline on the virtual CPU mesh.
+Two engines, both `shard_map`-based:
+
+- `magnify_video_spatial`: the production path — (T, H, W, 3) videos over
+  a 2D ("frame", "rows") mesh (or 1D ("rows",)).  Padding happens on
+  device inside the jit, each frame is FFT'd exactly once (the previous
+  spectrum is a shifted slice, crossing frame-shard boundaries as a
+  1-frame ppermute halo), and the frame and row axes compose.
+- `magnify_frame_pair_spatial`: one (prev, cur) pair over a ("rows",)
+  mesh — a thin wrapper over the video engine with T=2.
+
+Restrictions: pyramid mode, two-frame temporal, y_only chroma, XLA FFT
+semantics (natural layout).  Tested against the unsharded pipeline on the
+virtual CPU mesh (`tests/test_spatial.py`).
 """
 
 from __future__ import annotations
@@ -32,6 +43,7 @@ from pbmm_tpu.core.color import rgb_to_yiq, yiq_to_rgb
 from pbmm_tpu.core.window import blur_taps, geometry_for
 
 AXIS = "rows"
+FRAME_AXIS = "frame"
 
 
 def _axis_size():
@@ -43,26 +55,30 @@ def _axis_index():
 
 
 def _fft2_local(y_local: jnp.ndarray):
-    """(Hl, W) real rows-shard -> (H, Wc) natural-layout cols-shard."""
+    """(..., Hl, W) real rows-shard -> (..., H, Wc) natural-layout
+    cols-shard.  Leading dims (frames) batch through."""
     p = _axis_size()
     s = jnp.fft.fft(y_local.astype(jnp.complex64), axis=-1)  # full rows
-    hl, w = s.shape
-    s = s.reshape(hl, p, w // p)
-    s = jax.lax.all_to_all(s, AXIS, split_axis=1, concat_axis=0,
+    *lead, hl, w = s.shape
+    s = s.reshape(*lead, hl, p, w // p)
+    nd = len(lead)
+    s = jax.lax.all_to_all(s, AXIS, split_axis=nd + 1, concat_axis=nd,
                            tiled=False)
-    s = s.reshape(hl * p, w // p)  # (H, Wc)
-    return jnp.fft.fft(s, axis=0)  # full columns
+    s = s.reshape(*lead, hl * p, w // p)  # (..., H, Wc)
+    return jnp.fft.fft(s, axis=-2)  # full columns
 
 
 def _ifft2_local(spec: jnp.ndarray):
-    """(H, Wc) cols-shard spectrum -> (Hl, W) rows-shard complex result."""
+    """(..., H, Wc) cols-shard spectrum -> (..., Hl, W) rows-shard complex
+    result."""
     p = _axis_size()
-    s = jnp.fft.ifft(spec, axis=0)
-    h, wc = s.shape
-    s = s.reshape(p, h // p, wc)
-    s = jax.lax.all_to_all(s, AXIS, split_axis=0, concat_axis=1,
+    s = jnp.fft.ifft(spec, axis=-2)
+    *lead, h, wc = s.shape
+    s = s.reshape(*lead, p, h // p, wc)
+    nd = len(lead)
+    s = jax.lax.all_to_all(s, AXIS, split_axis=nd, concat_axis=nd + 1,
                            tiled=False)
-    s = s.reshape(h // p, wc * p)
+    s = s.reshape(*lead, h // p, wc * p)
     return jnp.fft.ifft(s, axis=-1)
 
 
@@ -79,7 +95,8 @@ def _freqs_local(pad_h: int, pad_w: int):
 
 
 def _amplify_local(cur, prev, cfg: MagnifyConfig, pad_h: int, pad_w: int):
-    """Fused pyramid amplification on a cols-shard with global freqs."""
+    """Fused pyramid amplification on (..., H, Wc) cols-shards with global
+    freqs."""
     from pbmm_tpu.phase.amplify import rotation_term
     from pbmm_tpu.pyramid.filters import radial_profile_jnp
 
@@ -103,115 +120,163 @@ def _amplify_local(cur, prev, cfg: MagnifyConfig, pad_h: int, pad_w: int):
 
 
 def _blur_rowsharded(y: jnp.ndarray, blur_size: float):
-    """Separable 5-tap blur on a rows-shard with a 2-row halo exchange.
+    """Separable 5-tap blur on (..., Hl, W) rows-shards with a halo
+    exchange.
 
-    Horizontal pass is local (full rows).  Vertical pass gathers 2 rows
-    from each neighbor via ppermute; global edges replicate (texture clamp).
-    """
+    Horizontal pass is local (full rows).  Vertical pass gathers `radius`
+    rows from each neighbor via ppermute; global edges replicate (texture
+    clamp)."""
     taps = blur_taps(blur_size)
     radius = (len(taps) - 1) // 2
-    hl, w = y.shape
+    *lead, hl, w = y.shape
     p = _axis_size()
     idx = _axis_index()
 
     # Horizontal (local, edge clamp).
-    yh = jnp.pad(y, ((0, 0), (radius, radius)), mode="edge")
-    out = sum(taps[k] * yh[:, k : k + w] for k in range(len(taps)))
+    pad_cfg = [(0, 0)] * len(lead) + [(0, 0), (radius, radius)]
+    yh = jnp.pad(y, pad_cfg, mode="edge")
+    out = sum(taps[k] * yh[..., :, k:k + w] for k in range(len(taps)))
 
     # Vertical halo: bottom rows travel to the next shard, top rows to the
     # previous one (ring ppermute; wrap values are masked off below).
     down = [(i, (i + 1) % p) for i in range(p)]
     up = [(i, (i - 1) % p) for i in range(p)]
-    from_above = jax.lax.ppermute(out[-radius:, :], AXIS, down)
-    from_below = jax.lax.ppermute(out[:radius, :], AXIS, up)
+    from_above = jax.lax.ppermute(out[..., -radius:, :], AXIS, down)
+    from_below = jax.lax.ppermute(out[..., :radius, :], AXIS, up)
     # Global edge clamp: first shard's top halo and last shard's bottom
     # halo replicate their own edge rows instead of the wrapped values.
-    top_edge = jnp.broadcast_to(out[0:1, :], (radius, w))
-    bot_edge = jnp.broadcast_to(out[-1:, :], (radius, w))
+    top_edge = jnp.broadcast_to(out[..., 0:1, :], (*lead, radius, w))
+    bot_edge = jnp.broadcast_to(out[..., -1:, :], (*lead, radius, w))
     above = jnp.where(idx == 0, top_edge, from_above)
     below = jnp.where(idx == p - 1, bot_edge, from_below)
 
-    stacked = jnp.concatenate([above, out, below], axis=0)
-    return sum(taps[k] * stacked[k : k + hl, :] for k in range(len(taps)))
+    stacked = jnp.concatenate([above, out, below], axis=-2)
+    return sum(taps[k] * stacked[..., k:k + hl, :] for k in range(len(taps)))
 
 
-def _pair_kernel(prev_rgb, cur_rgb, cfg: MagnifyConfig, geom):
-    """shard_map body: (Hl, W, 3) rows-shards -> magnified rows-shard."""
+def _video_kernel(frames_padded, cfg: MagnifyConfig, geom, frame_sharded):
+    """shard_map body: (Tl, Hl, Wp, 3) padded rows(+frame)-shards ->
+    magnified rows-shards at padded resolution.
+
+    Each local frame is FFT'd once; the previous-frame spectrum is the
+    shifted slice along the frame axis, with the shard-boundary frame's
+    spectrum arriving from the previous frame-shard via ppermute (the
+    1-frame temporal halo, here exchanged in the *spectral* domain so the
+    forward FFT is never repeated)."""
     pad_h, pad_w = geom.pad_h, geom.pad_w
     p = _axis_size()
     idx = _axis_index()
     hl = pad_h // p
 
-    # Frames arrive already padded to (Hp, Wp) and rows-sharded; window
-    # rows use this shard's global row offset.
-    prev_yiq = rgb_to_yiq(prev_rgb)
-    cur_yiq = rgb_to_yiq(cur_rgb)
+    yiq = rgb_to_yiq(frames_padded)  # (Tl, Hl, Wp, 3), channels-last
     gy = (idx * hl + jnp.arange(hl)).astype(jnp.float32)
     wy = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * (gy + 0.5) / pad_h))[:, None]
     ix = (jnp.arange(pad_w, dtype=jnp.float32) + 0.5) / pad_w
     wx = (0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * ix)))[None, :]
-    win = wy * wx
+    win = wy * wx  # (Hl, Wp)
 
-    cur_y = cur_yiq[..., 0] * win
-    prev_y = prev_yiq[..., 0] * win
-    cur_spec = _fft2_local(cur_y)
-    prev_spec = _fft2_local(prev_y)
-    mod = _amplify_local(cur_spec, prev_spec, cfg, pad_h, pad_w)
-    rec = _ifft2_local(mod)
+    y_win = yiq[..., 0] * win  # (Tl, Hl, Wp)
+    spec = _fft2_local(y_win)  # (Tl, H, Wc)
+
+    # Previous-frame spectra: local shift; the boundary frame crosses the
+    # frame-shard ring.  The global first frame pairs with itself (zero
+    # delta); its exact passthrough is applied by the caller.
+    if frame_sharded:
+        pf = jax.lax.axis_size(FRAME_AXIS)
+        fidx = jax.lax.axis_index(FRAME_AXIS)
+        ring = [(i, (i + 1) % pf) for i in range(pf)]
+        recv = jax.lax.ppermute(spec[-1:], FRAME_AXIS, ring)  # (1, H, Wc)
+        first_prev = jnp.where(fidx == 0, spec[:1], recv)
+    else:
+        first_prev = spec[:1]
+    prev = jnp.concatenate([first_prev, spec[:-1]], axis=0)
+
+    mod = _amplify_local(spec, prev, cfg, pad_h, pad_w)
+    rec = _ifft2_local(mod)  # (Tl, Hl, Wp) complex
     y_out = jnp.abs(rec) if cfg.reconstruct == "magnitude" else jnp.real(rec)
     y_out = _blur_rowsharded(y_out, cfg.blur_size)
 
     out_yiq = jnp.stack(
-        [y_out, cur_yiq[..., 1] * win, cur_yiq[..., 2] * win], axis=-1
+        [y_out, yiq[..., 1] * win, yiq[..., 2] * win], axis=-1
     )
     return yiq_to_rgb(out_yiq, saturate=True)
 
 
+def _validate(cfg: MagnifyConfig):
+    if cfg.mode != "pyramid" or cfg.temporal.mode != "two_frame":
+        raise ValueError("spatial path supports pyramid two-frame mode")
+    if cfg.chroma != "y_only":
+        raise ValueError("spatial path supports chroma='y_only'")
+
+
 @functools.lru_cache(maxsize=8)
-def _spatial_fn(cfg: MagnifyConfig, mesh: Mesh, in_h: int, in_w: int):
+def _spatial_video_fn(cfg: MagnifyConfig, mesh: Mesh, in_h: int, in_w: int):
     geom = geometry_for(in_h, in_w, cfg.pad_mode)
-    if geom.pad_h % mesh.devices.size or geom.pad_w % mesh.devices.size:
+    n_rows = mesh.shape[AXIS]
+    frame_sharded = FRAME_AXIS in mesh.axis_names
+    if geom.pad_h % n_rows or geom.pad_w % n_rows:
         raise ValueError("padded dims must divide the rows-mesh size")
 
-    spec_sharded = P(AXIS, None, None)
+    pspec = (P(FRAME_AXIS, AXIS, None, None) if frame_sharded
+             else P(None, AXIS, None, None))
+    sharding = NamedSharding(mesh, pspec)
 
-    def fn(prev_padded, cur_padded):
-        body = shard_map(
-            lambda a, b: _pair_kernel(a, b, cfg, geom),
-            mesh=mesh,
-            in_specs=(spec_sharded, spec_sharded),
-            out_specs=spec_sharded,
+    def fn(frames):
+        frames = frames.astype(jnp.float32)
+        t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        # Device-side center pad (the reference's GL-quad PadTexture,
+        # `MotionMagnificationProcessor.cs:358-384`) — no host round trip.
+        padded = jnp.pad(
+            frames,
+            ((0, 0),
+             (geom.y0, geom.pad_h - geom.y0 - h),
+             (geom.x0, geom.pad_w - geom.x0 - w),
+             (0, 0)),
         )
-        return body(prev_padded, cur_padded)
+        padded = jax.lax.with_sharding_constraint(padded, sharding)
+        body = shard_map(
+            lambda fr: _video_kernel(fr, cfg, geom, frame_sharded),
+            mesh=mesh,
+            in_specs=(pspec,),
+            out_specs=pspec,
+        )
+        out = body(padded)[:, geom.y0:geom.y0 + h, geom.x0:geom.x0 + w]
+        # Global first frame passes through unmodified
+        # (`MotionMagnificationProcessor.cs:111-117`).
+        return jnp.concatenate([frames[:1], out[1:]], axis=0)
 
     return jax.jit(fn), geom
+
+
+def magnify_video_spatial(frames, cfg: MagnifyConfig, mesh: Mesh):
+    """(T, H, W, 3) -> (T, H, W, 3) with rows sharded across chips.
+
+    mesh: 2D ("frame", "rows") — frames over the first axis (1-frame
+    spectral halo via ppermute), rows of every frame over the second — or
+    1D ("rows",) for pure spatial sharding.  T must divide the frame-axis
+    size.  Two-frame mode; each frame's FFT computed exactly once.
+    """
+    _validate(cfg)
+    frames = jnp.asarray(frames)
+    if not cfg.apply_motion_magnification:
+        return frames.astype(jnp.float32)
+    t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    if FRAME_AXIS in mesh.axis_names and t % mesh.shape[FRAME_AXIS]:
+        raise ValueError(
+            f"T={t} must divide the frame-mesh size {mesh.shape[FRAME_AXIS]}"
+        )
+    fn, _ = _spatial_video_fn(cfg, mesh, h, w)
+    return fn(frames)
 
 
 def magnify_frame_pair_spatial(
     prev_rgb, cur_rgb, cfg: MagnifyConfig, mesh: Mesh
 ):
     """Two-frame magnification of ONE frame pair with rows sharded over a
-    1D ("rows",) mesh.  (H, W, 3) f32 in/out.
+    ("rows",) mesh.  (H, W, 3) f32 in/out.
 
-    Restrictions: pyramid mode, two-frame temporal, y_only chroma,
-    XLA FFT backend semantics (natural layout).
-    """
-    if cfg.mode != "pyramid" or cfg.temporal.mode != "two_frame":
-        raise ValueError("spatial path supports pyramid two-frame mode")
-    if cfg.chroma != "y_only":
-        raise ValueError("spatial path supports chroma='y_only'")
-    import numpy as np
-
-    h, w = cur_rgb.shape[:2]
-    fn, geom = _spatial_fn(cfg, mesh, h, w)
-
-    def pad(f):
-        out = np.zeros((geom.pad_h, geom.pad_w, 3), np.float32)
-        out[geom.y0 : geom.y0 + h, geom.x0 : geom.x0 + w] = f
-        return out
-
-    sh = NamedSharding(mesh, P(AXIS, None, None))
-    prev_p = jax.device_put(pad(np.asarray(prev_rgb, np.float32)), sh)
-    cur_p = jax.device_put(pad(np.asarray(cur_rgb, np.float32)), sh)
-    out = fn(prev_p, cur_p)
-    return out[geom.y0 : geom.y0 + h, geom.x0 : geom.x0 + w]
+    A T=2 run of the video engine: frame 1's output is `cur` magnified
+    against `prev` (padding on device, one FFT per frame)."""
+    _validate(cfg)
+    frames = jnp.stack([jnp.asarray(prev_rgb), jnp.asarray(cur_rgb)])
+    return magnify_video_spatial(frames, cfg, mesh)[1]

@@ -54,3 +54,52 @@ def test_spatial_two_devices():
     )
     want = np.asarray(magnify_frame_pair(frames[1], frames[2], cfg))
     assert psnr(got, want) > 70.0
+
+
+class TestVideoSpatial:
+    """The production video-level spatial engine: device-side padding, one
+    FFT per frame, frame x rows mesh composition."""
+
+    def _make_2d_mesh(self, nf, nr):
+        import numpy as _np
+
+        devs = _np.asarray(jax.devices()[: nf * nr]).reshape(nf, nr)
+        return Mesh(devs, ("frame", "rows"))
+
+    def test_video_rows_only_matches_unsharded(self):
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=6, bar_width=2)
+        cfg = MagnifyConfig(use_rfft=False)
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh()))
+        want, _ = magnify_video(frames, cfg)
+        assert out.shape == frames.shape
+        assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_video_frame_x_rows_mesh_matches_unsharded(self):
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=8, bar_width=2)
+        cfg = MagnifyConfig(use_rfft=False)
+        mesh = self._make_2d_mesh(2, 4)
+        out = np.asarray(magnify_video_spatial(frames, cfg, mesh))
+        want, _ = magnify_video(frames, cfg)
+        assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_video_first_frame_passthrough(self):
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=4, bar_width=2)
+        cfg = MagnifyConfig(use_rfft=False)
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        np.testing.assert_allclose(out[0], frames[0], atol=1e-6)
+
+    def test_video_rejects_unsplittable_frames(self):
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=5, bar_width=2)
+        mesh = self._make_2d_mesh(2, 4)
+        with pytest.raises(ValueError, match="must divide"):
+            magnify_video_spatial(frames, MagnifyConfig(use_rfft=False), mesh)
