@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The persistent compilation cache must stay OFF for the whole test
+# process: in-process CLI invocations (`pbmm_tpu.cli.main` enables the
+# cache for TPU runs) would otherwise flip the process-wide cache dir on,
+# and a cache populated by a *different* XLA build/machine then serves
+# stale XLA:CPU AOT executables to later tests — which abort at execute
+# time with mismatched target features (observed: SIGABRT in
+# test_parallel after test_cli/test_checkpoint ran).  CPU test compiles
+# are sub-second; the cache buys nothing here.
+jax.config.update("jax_enable_compilation_cache", False)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
