@@ -50,12 +50,16 @@ def hot_path_stages(h: int = 1080, w: int = 1920, cfg=None):
     """
     from pbmm_tpu.config import MagnifyConfig
     from pbmm_tpu.core.window import blur_taps, geometry_for
-    from pbmm_tpu.engine.pipeline import blur_row_window
+    from pbmm_tpu.engine.pipeline import blur_row_window, hermitian_active
     from pbmm_tpu.spectral.fused import aligned_row_window
+    from pbmm_tpu.spectral.hermitian import hermitian_kept_width
 
     cfg = cfg or MagnifyConfig().tuned_for_tpu()
     geom = geometry_for(h, w, cfg.pad_mode)
     hp, wp = geom.pad_h, geom.pad_w
+    # Hermitian-half kept-lane layout: the spectrum arrays between the
+    # row-FFT and the row-IFFT carry wk of wp lanes (9/16 at W=2048).
+    wk = hermitian_kept_width(wp) if hermitian_active(cfg, geom) else wp
     r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, hp)
     hc = r1 - r0  # content-row cover (rows with any nonzero pixels)
     b0, b1 = blur_row_window(geom, cfg)
@@ -63,7 +67,9 @@ def hot_path_stages(h: int = 1080, w: int = 1920, cfg=None):
     lg_w, lg_h = math.log2(wp), math.log2(hp)
     taps = len(blur_taps(cfg.blur_size))
 
-    # (name, bytes_in, bytes_out, flops)
+    # (name, bytes_in, bytes_out, flops).  FLOPs keep the full-width
+    # 5*N*log2(N) count for the row transforms (computed full-width in
+    # VMEM) and scale the column transforms by the kept lanes.
     return [
         (
             "pre: rgb->yiq + pad slab",
@@ -74,24 +80,24 @@ def hot_path_stages(h: int = 1080, w: int = 1920, cfg=None):
         (
             "fwd row-FFT (Hann fused)",
             hc * wp * _F,
-            2 * hc * wp * _F,
+            2 * hc * wk * _F,
             int(hc * 5 * wp * lg_w + 2 * hc * wp),
         ),
         (
             "fwd col-FFT (zero-embed fused)",
-            2 * hc * wp * _F,
-            2 * hp * wp * _F,
-            int(wp * 5 * hp * lg_h),
+            2 * hc * wk * _F,
+            2 * hp * wk * _F,
+            int(wk * 5 * hp * lg_h),
         ),
         (
             "phase pass + col-IFFT (fused)",
-            4 * hp * wp * _F,  # cur + prev spectra, re/im
-            2 * hr * wp * _F,
-            int(hp * wp * 80 + wp * 5 * hp * lg_h),  # ~80 flop/bin phase
+            4 * hp * wk * _F,  # cur + prev spectra, re/im
+            2 * hr * wk * _F,
+            int(hp * wk * 80 + wk * 5 * hp * lg_h),  # ~80 flop/bin phase
         ),
         (
             "row-IFFT + |z| (fused)",
-            2 * hr * wp * _F,
+            2 * hr * wk * _F,
             hr * wp * _F,
             int(hr * 5 * wp * lg_w + 4 * hr * wp),
         ),
@@ -136,9 +142,12 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
         windowed_row_fft,
     )
 
+    from pbmm_tpu.engine.pipeline import hermitian_active
+
     cfg = cfg or MagnifyConfig().tuned_for_tpu()
     geom = geometry_for(h, w, cfg.pad_mode)
     hp, wp = geom.pad_h, geom.pad_w
+    keep = hermitian_active(cfg, geom)
     r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, hp)
     rows = blur_row_window(geom, cfg)
 
@@ -158,11 +167,12 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
         return yp, yiq
 
     slab, yiq = jax.jit(pre)(frame)
-    re1, im1 = windowed_row_fft(slab, pad_h=hp, row0=r0)
+    re1, im1 = windowed_row_fft(slab, pad_h=hp, row0=r0, keep_half=keep)
     re2, im2 = col_fft_zero_padded(re1, im1, pad_h=hp, row0=r0)
     pre_, pim = re2 + 1.0, im2 + 1.0  # stand-in previous spectrum
-    rre, rim = phase_col_ifft(re2, im2, pre_, pim, cfg, out_rows=rows)
-    rec = row_ifft_magnitude(rre, rim, magnitude=True, pad_h=hp)
+    rre, rim = phase_col_ifft(re2, im2, pre_, pim, cfg, out_rows=rows,
+                              full_w=wp)
+    rec = row_ifft_magnitude(rre, rim, magnitude=True, pad_h=hp, full_w=wp)
 
     # (name, fn, args, opaque): opaque=True for Pallas stages — XLA cannot
     # dead-code-eliminate inside a pallas_call, so a 1-element carry tap is
@@ -171,15 +181,18 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
     stages = [
         ("pre: rgb->yiq + pad slab", pre, (frame,), False),
         ("fwd row-FFT (Hann fused)",
-         lambda x: windowed_row_fft(x, pad_h=hp, row0=r0), (slab,), True),
+         lambda x: windowed_row_fft(x, pad_h=hp, row0=r0, keep_half=keep),
+         (slab,), True),
         ("fwd col-FFT (zero-embed fused)",
          lambda a, b: col_fft_zero_padded(a, b, pad_h=hp, row0=r0),
          (re1, im1), True),
         ("phase pass + col-IFFT (fused)",
-         lambda a, b, c, d: phase_col_ifft(a, b, c, d, cfg, out_rows=rows),
+         lambda a, b, c, d: phase_col_ifft(a, b, c, d, cfg, out_rows=rows,
+                                           full_w=wp),
          (re2, im2, pre_, pim), True),
         ("row-IFFT + |z| (fused)",
-         lambda a, b: row_ifft_magnitude(a, b, magnitude=True, pad_h=hp),
+         lambda a, b: row_ifft_magnitude(a, b, magnitude=True, pad_h=hp,
+                                         full_w=wp),
          (rre, rim), True),
         ("post: blur+combine+yiq->rgb+crop",
          lambda c, y: posttail(c, y, cfg, row0=rows[0]), (rec, yiq), False),

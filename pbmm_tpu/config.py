@@ -159,6 +159,15 @@ class MagnifyConfig:
     #   reconstruction never round-trip HBM.  Default in `tuned_for_tpu()`
     #   since the MXU group-matmul freed the VPU budget that made the
     #   round-1 fused path lose; honest numbers in README.
+    use_hermitian_spectral: bool = False  # Hermitian-half kept-lane layout
+    #   for the fused spectral path (spectral/hermitian.py): the real input
+    #   makes the lane spectrum conjugate-symmetric, so only the kept 128-
+    #   lane tiles (9/16 at W=2048) flow through the column FFT, the phase
+    #   pass, and the column IFFT; the row-IFFT kernel reconstructs the
+    #   missing tiles in VMEM (conj + one MXU lane-reversal matmul).  Only
+    #   honored where the fused path runs (`fused_eligible` + pow-2 pads);
+    #   mathematically identical (the phase pass preserves the symmetry,
+    #   same argument as `use_rfft`).
     interpret_pallas: bool = False  # Pallas interpret mode (CPU testing)
 
     def __post_init__(self):
@@ -200,7 +209,7 @@ class MagnifyConfig:
         PSNR-equivalent (>70 dB) to the default path; tests assert both."""
         return dataclasses.replace(
             self, fft_backend="pallas", use_rfft=False,
-            use_fused_spectral=True,
+            use_fused_spectral=True, use_hermitian_spectral=True,
         )
 
     @staticmethod

@@ -61,6 +61,24 @@ def _geometry(frame_shape, cfg: MagnifyConfig) -> Geometry:
     return geometry_for(h, w, cfg.pad_mode)
 
 
+def hermitian_active(cfg: MagnifyConfig, geom: Geometry) -> bool:
+    """Whether the Hermitian-half kept-lane spectral layout is in effect
+    (`spectral/hermitian.py`): only where the fully-fused path serves the
+    config AND the padded sizes tile cleanly AND the layout actually
+    saves lanes.  `hermitian_active` implies `fused_reconstruct_ok`, so a
+    kept-layout spectrum is never handed to a full-width consumer."""
+    from pbmm_tpu.spectral.fused import fused_eligible
+    from pbmm_tpu.spectral.hermitian import hermitian_saves
+
+    return (
+        cfg.use_hermitian_spectral
+        and fused_eligible(cfg)
+        and geom.pad_h % 128 == 0
+        and geom.pad_w % 128 == 0
+        and hermitian_saves(geom.pad_w)
+    )
+
+
 def preprocess(
     frame_rgb: jnp.ndarray, cfg: MagnifyConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -92,13 +110,17 @@ def preprocess(
             # row-FFTs); the Hann window rides inside the row kernel and
             # the zero rows are re-embedded in VMEM by the column kernel.
             # Bit-exact vs the full-height chain at ~56% of the row work
-            # for 1080p.
+            # for 1080p.  With `hermitian_active`, only the kept lane
+            # tiles (9/16 at W=2048) leave the row kernel — the column
+            # FFT and everything downstream to the row-IFFT carries the
+            # Hermitian half-spectrum.
             from pbmm_tpu.spectral.fused import (
                 aligned_row_window,
                 col_fft_zero_padded,
                 windowed_row_fft,
             )
 
+            keep = hermitian_active(cfg, geom)
             r0, r1 = aligned_row_window(
                 geom.y0, geom.y0 + geom.in_h, geom.pad_h
             )
@@ -111,7 +133,7 @@ def preprocess(
             flat = slab.reshape((-1,) + shape[-2:])
             with jax.named_scope("pbmm.fft"):
                 re, im = windowed_row_fft(
-                    flat, pad_h=geom.pad_h, row0=r0,
+                    flat, pad_h=geom.pad_h, row0=r0, keep_half=keep,
                     interpret=cfg.interpret_pallas,
                 )
                 re, im = col_fft_zero_padded(
@@ -119,7 +141,7 @@ def preprocess(
                     interpret=cfg.interpret_pallas,
                 )
             spec = jax.lax.complex(re, im).reshape(
-                shape[:-2] + (geom.pad_h, geom.pad_w)
+                shape[:-2] + (geom.pad_h, re.shape[-1])
             )
             return spec, yiq
         padded = pad_center(chans_small, geom)
@@ -276,7 +298,7 @@ def blur_row_window(geom: Geometry, cfg: MagnifyConfig):
 
 def amplify_reconstruct_fused(
     cur_spec: jnp.ndarray, prev_spec: jnp.ndarray, cfg: MagnifyConfig,
-    out_rows=None,
+    out_rows=None, full_w=None,
 ) -> jnp.ndarray:
     """Band/phase amplification fused into the column-IFFT kernel, plus the
     row-IFFT fused with the |z| reduction: the modified spectrum and the
@@ -296,6 +318,7 @@ def amplify_reconstruct_fused(
     from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
 
     shape = cur_spec.shape
+    fw = full_w if (full_w is not None) else shape[-1]
     r0, r1 = out_rows if out_rows is not None else (0, shape[-2])
     flat_c = cur_spec.reshape((-1,) + shape[-2:])
     flat_p = prev_spec.reshape((-1,) + shape[-2:])
@@ -303,13 +326,14 @@ def amplify_reconstruct_fused(
         rre, rim = phase_col_ifft(
             jnp.real(flat_c), jnp.imag(flat_c),
             jnp.real(flat_p), jnp.imag(flat_p),
-            cfg, out_rows=out_rows, interpret=cfg.interpret_pallas,
+            cfg, out_rows=out_rows, full_w=fw,
+            interpret=cfg.interpret_pallas,
         )
         rec = row_ifft_magnitude(
             rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
-            pad_h=shape[-2], interpret=cfg.interpret_pallas,
+            pad_h=shape[-2], full_w=fw, interpret=cfg.interpret_pallas,
         )
-    return rec.reshape(shape[:-2] + (r1 - r0, shape[-1]))
+    return rec.reshape(shape[:-2] + (r1 - r0, fw))
 
 
 def postprocess(
@@ -397,9 +421,10 @@ def magnify_frame_pair(
     cur_spec, cur_yiq = preprocess(cur_rgb, cfg)
     prev_spec, _ = preprocess(prev_rgb, cfg)
     if fused_reconstruct_ok(cfg, cur_spec.shape):
-        rows = blur_row_window(_geometry(cur_rgb.shape, cfg), cfg)
+        geom = _geometry(cur_rgb.shape, cfg)
+        rows = blur_row_window(geom, cfg)
         chans = amplify_reconstruct_fused(
-            cur_spec, prev_spec, cfg, out_rows=rows
+            cur_spec, prev_spec, cfg, out_rows=rows, full_w=geom.pad_w
         )
         return jnp.moveaxis(
             posttail(chans, cur_yiq, cfg, row0=rows[0]), -3, -1

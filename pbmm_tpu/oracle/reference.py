@@ -166,7 +166,7 @@ def _preprocess(frame, cfg):
     return spec, windowed, (ph, pw, y0, x0)
 
 
-def _amplify(cur, prev, cfg, ph, pw):
+def _amplify(cur, prev, cfg, ph, pw, delta_override=None):
     tau = cfg.magnitude_threshold
     scale = cfg.phase_scale
     if cfg.mode == "pyramid":
@@ -180,13 +180,19 @@ def _amplify(cur, prev, cfg, ph, pw):
                 acc += ci  # skip-ends (`PyramidPhaseDifference.compute:73-77`)
                 continue
             gate = (np.abs(ci) < tau) | (np.abs(pi) < tau)
-            delta = _wrap(np.angle(pi) - np.angle(ci))
+            if delta_override is None:
+                delta = _wrap(np.angle(pi) - np.angle(ci))
+            else:
+                delta = delta_override  # arg(m*z) == arg(z) for m > 0
             acc += np.where(gate, ci, ci * np.exp(1j * scale * delta))
         return acc
     else:
         wmap = standard_weight(ph, pw, cfg)
         gate = (np.abs(cur) < tau) | (np.abs(prev) < tau)
-        delta = _wrap(np.angle(prev) - np.angle(cur))
+        if delta_override is None:
+            delta = _wrap(np.angle(prev) - np.angle(cur))
+        else:
+            delta = delta_override
         out = cur * np.exp(1j * scale * (delta * wmap))
         return np.where(gate, cur, out)
 
@@ -219,4 +225,37 @@ def oracle_magnify_video(frames: np.ndarray, cfg) -> np.ndarray:
     out = [np.asarray(frames[0], np.float64)]
     for t in range(1, len(frames)):
         out.append(oracle_magnify_pair(frames[t - 1], frames[t], cfg))
+    return np.stack(out)
+
+
+def oracle_magnify_video_iir(frames: np.ndarray, cfg) -> np.ndarray:
+    """fp64 straight-line transcription of the streaming IIR temporal mode
+    (the TPU extension; `phase/temporal.py`, BASELINE.json configs 2-5):
+    the per-bin phase-delta stream is band-passed with the difference of
+    two first-order low-passes carried across frames before amplification.
+
+    Mirrors `engine.video` exactly: frame 0 passes through; the previous
+    frame's spectrum is the predecessor's (cache semantics); the low-pass
+    states start at zero.
+    """
+    assert cfg.temporal.mode == "iir_bandpass"
+    r_hi, r_lo = cfg.temporal.smoothing_factors()
+    frames = np.asarray(frames, np.float64)
+    h, w = frames.shape[1:3]
+    out = [frames[0]]
+    prev_spec, _, geom = _preprocess(frames[0], cfg)
+    ph, pw, y0, x0 = geom
+    lp_fast = np.zeros((ph, pw))
+    lp_slow = np.zeros((ph, pw))
+    for t in range(1, len(frames)):
+        cur_spec, cur_win, _ = _preprocess(frames[t], cfg)
+        delta = _wrap(np.angle(prev_spec) - np.angle(cur_spec))
+        lp_fast = lp_fast + r_hi * (delta - lp_fast)
+        lp_slow = lp_slow + r_lo * (delta - lp_slow)
+        filtered = lp_fast - lp_slow
+        mod = _amplify(cur_spec, prev_spec, cfg, ph, pw,
+                       delta_override=filtered)
+        rgb = _postprocess(mod, cur_win, geom, cfg)
+        out.append(rgb[y0:y0 + h, x0:x0 + w])
+        prev_spec = cur_spec
     return np.stack(out)

@@ -30,6 +30,30 @@ def oscillating_bar(
     return out
 
 
+def single_tone_bar(
+    size: int = 64,
+    frames: int = 90,
+    fps: float = 30.0,
+    f_hz: float = 1.5,
+    amp: float = 0.1,
+    sigma: float = 1.2,
+) -> np.ndarray:
+    """(T, size, size, 3) f32: ONE centered soft vertical bar oscillating
+    horizontally at a single temporal frequency `f_hz` — the probe for the
+    IIR temporal band-pass's frequency selectivity.  One tone per clip on
+    purpose: the pipeline's per-bin phase deltas are *global* (the FFT
+    mixes every moving feature in the frame), so two tones in one clip
+    contaminate each other's measurement."""
+    x = np.arange(size, dtype=np.float64)
+    out = np.empty((frames, size, size, 3), np.float32)
+    for t in range(frames):
+        c = size / 2 + amp * np.sin(2.0 * np.pi * f_hz * t / fps)
+        img = 0.2 + 0.6 * np.exp(-0.5 * ((x - c) / sigma) ** 2)
+        frame = np.broadcast_to(img[None, :], (size, size))
+        out[t] = np.clip(frame, 0.0, 1.0)[..., None].repeat(3, axis=-1)
+    return out
+
+
 def oscillating_gaussian_blob(
     height: int = 128,
     width: int = 128,

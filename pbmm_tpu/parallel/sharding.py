@@ -52,8 +52,11 @@ def _magnify_clip_fused(frames: jnp.ndarray, cfg: MagnifyConfig) -> jnp.ndarray:
     )
     from pbmm_tpu.spectral.pallas_fft import _fft_axis
 
+    from pbmm_tpu.engine.pipeline import hermitian_active
+
     t, h, w, _ = frames.shape
     geom = geometry_for(h, w, cfg.pad_mode)
+    keep = hermitian_active(cfg, geom)
     yiq = rgb_to_yiq(jnp.moveaxis(frames.astype(jnp.float32), -1, -3),
                      axis=-3)  # (T, 3, H, W)
     if cfg.chroma == "rgb":
@@ -63,7 +66,8 @@ def _magnify_clip_fused(frames: jnp.ndarray, cfg: MagnifyConfig) -> jnp.ndarray:
     c = chans.shape[1]
     y_pad = pad_center(chans, geom).reshape(t * c, geom.pad_h, geom.pad_w)
 
-    re, im = windowed_row_fft(y_pad, interpret=cfg.interpret_pallas)
+    re, im = windowed_row_fft(y_pad, keep_half=keep,
+                              interpret=cfg.interpret_pallas)
     re, im = _fft_axis(re, im, 1, False, 1.0, cfg.interpret_pallas)
 
     # 1-frame halo: prev of (frame t, chan k) is (frame t-1, chan k).
@@ -71,10 +75,11 @@ def _magnify_clip_fused(frames: jnp.ndarray, cfg: MagnifyConfig) -> jnp.ndarray:
     prev_im = jnp.concatenate([im[:c], im[:-c]], axis=0)
 
     rre, rim = phase_col_ifft(re, im, prev_re, prev_im, cfg,
+                              full_w=geom.pad_w,
                               interpret=cfg.interpret_pallas)
     rec = row_ifft_magnitude(
         rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
-        interpret=cfg.interpret_pallas,
+        full_w=geom.pad_w, interpret=cfg.interpret_pallas,
     )  # (T*C, Hp, Wp) real
 
     # Bit-identical to blur-at-padded-res + crop, on ~1/4 the pixels

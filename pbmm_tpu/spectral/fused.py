@@ -28,6 +28,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pbmm_tpu.spectral.hermitian import (
+    hermitian_kept_width,
+    hermitian_saves,
+    kept_lane_indices,
+    kept_tiles,
+    reconstruction_plan,
+    reversal_matrix,
+)
 from pbmm_tpu.spectral.pallas_fft import (
     _LANE_BLOCK,
     _ROW_BLOCK,
@@ -55,9 +63,10 @@ def aligned_row_window(lo: int, hi: int, pad_h: int,
     return r0, r1
 
 
-@functools.partial(jax.jit, static_argnames=("pad_h", "row0", "interpret"))
+@functools.partial(jax.jit, static_argnames=("pad_h", "row0", "keep_half",
+                                              "interpret"))
 def windowed_row_fft(y: jnp.ndarray, pad_h: int = 0, row0: int = 0,
-                     interpret: bool = False):
+                     keep_half: bool = False, interpret: bool = False):
     """(B, Hc, W) content rows of the padded real Y plane -> row-axis FFT
     of (window * y), bitrev cols.  `pad_h`/`row0` locate the Hc-row slab
     inside the padded frame so the Hann row weights use absolute rows
@@ -65,6 +74,11 @@ def windowed_row_fft(y: jnp.ndarray, pad_h: int = 0, row0: int = 0,
 
     Fuses `WindowingFunction.shader`'s separable Hann (pixel-center uv)
     into the first FFT kernel — the windowed plane never exists in HBM.
+
+    `keep_half=True` writes back only the Hermitian-half kept lane tiles
+    (`spectral/hermitian.py`): the input rows are real, so the sliced-off
+    tiles are conj-lane-reversals of kept ones — 9/16 of the spectrum
+    bytes at W=2048, sliced in VMEM before the (only) HBM write.
     """
     b, h, w = y.shape
     pad_h = pad_h or h
@@ -91,22 +105,34 @@ def windowed_row_fft(y: jnp.ndarray, pad_h: int = 0, row0: int = 0,
     gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
 
+    tiles = kept_tiles(w) if keep_half else None
+    wk = hermitian_kept_width(w) if keep_half else w
+    out_spec = pl.BlockSpec((1, block_h, wk), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _keep(x):
+        if tiles is None or wk == w:
+            return x
+        return jnp.concatenate(
+            [x[:, t * 128:(t + 1) * 128] for t in tiles], axis=1
+        )
+
     def kernel(y_ref, wy_ref, wx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
                ore, oim):
         yy = y_ref[0] * wy_ref[:] * wx_ref[:]
         rr, ii = _fft_stages(yy, None, w, 1, False, twr_ref, twi_ref,
                              gm=(gr_ref[...], gi_ref[...]))
-        ore[0] = rr
-        oim[0] = ii
+        ore[0] = _keep(rr)
+        oim[0] = _keep(ii)
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec, wy_spec, wx_spec, tw_spec, tw_spec, gm_spec, gm_spec],
-        out_specs=(spec, spec),
+        out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct(y.shape, jnp.float32),
-            jax.ShapeDtypeStruct(y.shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, h, wk), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, wk), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -288,15 +314,20 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "out_rows", "interpret"))
+                   static_argnames=("cfg", "out_rows", "full_w", "interpret"))
 def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
-                   out_rows=None, interpret: bool = False):
+                   out_rows=None, full_w=None, interpret: bool = False):
     """(B, H, W) bitrev spectra pair -> column-axis IFFT of the
     phase-amplified spectrum (one kernel).
 
     out_rows: optional static (r0, r1) — write back only those *spatial*
     rows of the inverse transform (the crop+blur-halo cover); rows the
-    crop discards are computed in VMEM but never touch HBM."""
+    crop discards are computed in VMEM but never touch HBM.
+
+    full_w: when the spectra are in the Hermitian-half kept-lane layout
+    (`spectral/hermitian.py`), the true padded width; the per-lane
+    frequency values are relabeled to the kept bins (zero runtime cost —
+    the kernel is unchanged, only the fx constant differs)."""
     b, h, w = cur_re.shape
     r0, r1 = out_rows if out_rows is not None else (0, h)
     twr_np, twi_np = _dif_twiddles(h, True)
@@ -305,7 +336,11 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
     gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
     fy = jnp.asarray(bitrev_freq_axis(h))[:, None]  # (H, 1)
-    fx = jnp.asarray(bitrev_freq_axis(w))[None, :]  # (1, W)
+    if full_w is not None and full_w != w:
+        fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
+    else:
+        fx_np = bitrev_freq_axis(w)
+    fx = jnp.asarray(fx_np)[None, :]  # (1, W)
 
     block_w = min(_LANE_BLOCK, w)
     grid = (b, pl.cdiv(w, block_w))
@@ -352,50 +387,99 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("magnitude", "pad_h", "interpret"))
+                   static_argnames=("magnitude", "pad_h", "full_w",
+                                    "interpret"))
 def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
-                       interpret: bool = False):
+                       full_w=None, interpret: bool = False):
     """(B, Hb, W) -> row-axis IFFT, normalized by 1/(pad_h*W), reduced to
     |z| (or Re z) — only one real plane is written back.  Hb may be a
     row-windowed subset of the padded height; `pad_h` (default Hb) is the
-    true transform height for the normalization."""
+    true transform height for the normalization.
+
+    full_w: when the input is in the Hermitian-half kept-lane layout
+    (W = kept width), the true padded width.  The kernel rebuilds the
+    missing lane tiles in VMEM — each is conj(lane-reversal(a kept
+    tile)); the 128-lane reversal is one MXU matmul with the
+    anti-identity J (exact: a 0/1 matrix at HIGHEST precision) — then
+    runs the full-width transform.  Output is full width (the crop needs
+    all columns); only the input halves."""
     b, h, w = re.shape
-    twr_np, twi_np = _dif_twiddles(w, True)
+    fw = full_w if (full_w is not None and full_w != w) else w
+    twr_np, twi_np = _dif_twiddles(fw, True)
     twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
-    gr_np, gi_np = _intra_group_matrix(w, True)
+    gr_np, gi_np = _intra_group_matrix(fw, True)
     gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
-    scale = 1.0 / ((pad_h or h) * w)
+    scale = 1.0 / ((pad_h or h) * fw)
+    plan = reconstruction_plan(fw) if fw != w else None
+    jmat = jnp.asarray(reversal_matrix()) if fw != w else None
 
     block_h = min(_ROW_BLOCK, h)
     grid = (b, pl.cdiv(h, block_h))
     spec = pl.BlockSpec((1, block_h, w), lambda i, j: (i, j, 0),
                         memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((stages, w), lambda i, j: (0, 0),
+    out_spec = pl.BlockSpec((1, block_h, fw), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, fw), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
     gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
 
-    def kernel(re_ref, im_ref, twr_ref, twi_ref, gr_ref, gi_ref, out_ref):
-        rr, ii = _fft_stages(re_ref[0], im_ref[0], w, 1, True,
-                             twr_ref, twi_ref,
+    def _rebuild(xr, xi, j_ref):
+        """Kept-lane (Hb, Wk) -> full (Hb, fw) via the static plan."""
+        jm = j_ref[...]
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        outs_r, outs_i = [], []
+        for kp, rev in plan:
+            tr = xr[:, kp * 128:(kp + 1) * 128]
+            ti = xi[:, kp * 128:(kp + 1) * 128]
+            if rev:
+                outs_r.append(dot(tr, jm))
+                outs_i.append(-dot(ti, jm))
+            else:
+                outs_r.append(tr)
+                outs_i.append(ti)
+        return (jnp.concatenate(outs_r, axis=1),
+                jnp.concatenate(outs_i, axis=1))
+
+    def kernel(*refs):
+        if plan is not None:
+            re_ref, im_ref, j_ref, twr_ref, twi_ref, gr_ref, gi_ref, \
+                out_ref = refs
+            xr, xi = _rebuild(re_ref[0], im_ref[0], j_ref)
+        else:
+            re_ref, im_ref, twr_ref, twi_ref, gr_ref, gi_ref, out_ref = refs
+            xr, xi = re_ref[0], im_ref[0]
+        rr, ii = _fft_stages(xr, xi, fw, 1, True, twr_ref, twi_ref,
                              gm=(gr_ref[...], gi_ref[...]))
         if magnitude:
             out_ref[0] = jnp.sqrt(rr * rr + ii * ii) * scale
         else:
             out_ref[0] = rr * scale
 
+    in_specs = [spec, spec]
+    inputs = [re, im]
+    if plan is not None:
+        in_specs.append(gm_spec)
+        inputs.append(jmat)
+    in_specs += [tw_spec, tw_spec, gm_spec, gm_spec]
+    inputs += [twr, twi, gr, gi]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, spec, tw_spec, tw_spec, gm_spec, gm_spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(re.shape, jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, fw), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(re, im, twr, twi, gr, gi)
+    )(*inputs)
 
 
 def fused_eligible(cfg) -> bool:

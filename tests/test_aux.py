@@ -94,9 +94,19 @@ def test_roofline_analytic_model():
     assert len(stages) == 6
     assert all(bi > 0 and bo > 0 and fl > 0 for _, bi, bo, fl in stages)
 
+    from pbmm_tpu.spectral.hermitian import hermitian_kept_width
+
     geom = geometry_for(1080, 1920, cfg.pad_mode)
     b0, b1 = blur_row_window(geom, cfg)
+    wk = hermitian_kept_width(geom.pad_w)  # tuned config keeps 9/16 lanes
+    assert wk == 1152
     name, bi, bo, _ = stages[3]
     assert "phase" in name
-    assert bi == 4 * geom.pad_h * geom.pad_w * 4
-    assert bo == 2 * (b1 - b0) * geom.pad_w * 4
+    assert bi == 4 * geom.pad_h * wk * 4
+    assert bo == 2 * (b1 - b0) * wk * 4
+
+    # full-width config: the same stage reads full spectra
+    full_cfg = cfg.replace(use_hermitian_spectral=False)
+    _, bi_f, bo_f, _ = hot_path_stages(1080, 1920, full_cfg)[3]
+    assert bi_f == 4 * geom.pad_h * geom.pad_w * 4
+    assert bo_f == 2 * (b1 - b0) * geom.pad_w * 4

@@ -93,6 +93,93 @@ def test_fused_non_integer_scale():
     assert psnr(out_f, out_g) > 70.0
 
 
+HERM = FUSED.replace(use_hermitian_spectral=True)
+
+
+class TestHermitianHalf:
+    """Hermitian-half kept-lane layout (`spectral/hermitian.py`): the
+    column FFT / phase pass / column IFFT carry only the kept 128-lane
+    tiles; the row-IFFT kernel reconstructs the missing tiles in VMEM."""
+
+    def test_tile_math(self, rng):
+        """Partner symmetry of the bitrev layout + exact reconstruction,
+        against numpy's FFT (fp64)."""
+        from pbmm_tpu.spectral.hermitian import (
+            hermitian_kept_width,
+            kept_lane_indices,
+            kept_tiles,
+            missing_tile_sources,
+            reconstruction_plan,
+        )
+        from pbmm_tpu.spectral.pallas_fft import bit_reverse_permutation
+
+        w = 1024
+        assert hermitian_kept_width(w) == 640  # 5 of 8 tiles
+        rev = bit_reverse_permutation(w)
+        x = rng.standard_normal(w)
+        xb = np.fft.fft(x)[rev]  # bitrev position layout
+        kidx = kept_lane_indices(w)
+        plan = reconstruction_plan(w)
+        rebuilt = np.concatenate([
+            xb[kidx][kp * 128:(kp + 1) * 128][::-1].conj() if flip
+            else xb[kidx][kp * 128:(kp + 1) * 128]
+            for kp, flip in plan
+        ])
+        np.testing.assert_allclose(rebuilt, xb, rtol=1e-10, atol=1e-10)
+        # every missing tile's source is kept, and sources invert to kept
+        kt = set(kept_tiles(w))
+        for m, s in missing_tile_sources(w).items():
+            assert m not in kt and s in kt
+
+    def test_inactive_below_512(self):
+        from pbmm_tpu.spectral.hermitian import hermitian_saves
+
+        assert not hermitian_saves(64)
+        assert not hermitian_saves(256)
+        assert hermitian_saves(512)
+        assert hermitian_saves(2048)
+
+    def test_frame_pair_matches_generic(self, rng):
+        """512x512 pad (kept width 384 of 512): the kept-lane fused path
+        must match the generic XLA pipeline."""
+        from pbmm_tpu.core.window import geometry_for
+        from pbmm_tpu.engine.pipeline import (
+            hermitian_active,
+            magnify_frame_pair,
+        )
+
+        geom = geometry_for(300, 400)
+        assert hermitian_active(HERM, geom)
+        prev = rng.random((300, 400, 3)).astype(np.float32)
+        cur = np.clip(prev + 0.01 * rng.random((300, 400, 3)), 0, 1).astype(
+            np.float32
+        )
+        out_h = np.asarray(magnify_frame_pair(prev, cur, HERM))
+        out_g = np.asarray(magnify_frame_pair(prev, cur, GENERIC))
+        assert psnr(out_h, out_g) > 70.0
+
+    def test_batched_clip_matches_full_width(self):
+        """The batched fused engine under the kept layout vs the same
+        engine full-width."""
+        frames = oscillating_bar(size=280, frames=3, bar_width=4)
+        out_h = np.asarray(magnify_clip_batched(frames, HERM))
+        out_f = np.asarray(magnify_clip_batched(frames, FUSED))
+        assert psnr(out_h, out_f) > 70.0
+
+    def test_scan_engine_state_shapes(self):
+        """The carried previous-spectrum state is kept-width; chunked
+        streaming threads it across calls."""
+        from pbmm_tpu.engine.video import magnify_video
+
+        frames = oscillating_bar(size=280, frames=4, bar_width=4)
+        whole, _ = magnify_video(frames, HERM)
+        first, st = magnify_video(frames[:2], HERM)
+        assert st.prev_spec_re.shape[-1] == 384  # kept width of 512
+        rest, _ = magnify_video(frames[2:], HERM, state=st)
+        resumed = np.concatenate([np.asarray(first), np.asarray(rest)])
+        np.testing.assert_allclose(resumed, np.asarray(whole), atol=1e-5)
+
+
 def test_row_windowed_parity_nonsquare(rng):
     """A frame whose padded geometry activates real row windowing
     (150x500 -> 512x512 pad, content cover rows [128, 384)): the
