@@ -23,7 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="pbmm_tpu",
         description="TPU-native phase-based motion magnification",
     )
-    p.add_argument("--input", help="input video tensor (.npy/.npz, THWC)")
+    p.add_argument("--input", help="input video (.npy/.npz/.y4m, THWC), or "
+                                   "'-' for a y4m stream on stdin (pipe "
+                                   "mode, e.g. `ffmpeg ... -f yuv4mpegpipe "
+                                   "- | pbmm --input - --stream ...`)")
     p.add_argument("--demo", choices=["bar", "blob"],
                    help="generate a synthetic demo clip instead of --input")
     p.add_argument("--output", required=True, help="output path (.npy/.npz)")
@@ -177,10 +180,18 @@ def main(argv=None) -> int:
         print("error: exactly one of --input / --demo is required",
               file=sys.stderr)
         return 2
+    if args.input == "-" and not args.stream:
+        print("error: --input - (stdin pipe) requires --stream",
+              file=sys.stderr)
+        return 2
 
-    from pbmm_tpu.io.video import load_video, save_video
+    from pbmm_tpu.io.video import load_video
 
-    if args.demo:
+    if args.stream:
+        # Streaming never materializes the clip here — `_run` pulls
+        # bounded chunks straight from the file/pipe (io.stream).
+        frames = None
+    elif args.demo:
         from pbmm_tpu.oracle.synthetic import (
             oscillating_bar,
             oscillating_gaussian_blob,
@@ -190,7 +201,7 @@ def main(argv=None) -> int:
                   else oscillating_gaussian_blob())
     else:
         frames = load_video(args.input)
-    if frames.ndim != 4 or frames.shape[-1] != 3:
+    if frames is not None and (frames.ndim != 4 or frames.shape[-1] != 3):
         print(f"error: expected (T, H, W, 3) input, got {frames.shape}",
               file=sys.stderr)
         return 2

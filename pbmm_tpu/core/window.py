@@ -41,8 +41,12 @@ def geometry_for(in_h: int, in_w: int, pad_mode: str = "square_pow2") -> Geometr
     both axes (`MotionMagnificationProcessor.cs:298-302`; the square
     constraint exists there only because the FFT driver shares one
     bitrev/twiddle table between axes, `:531-535`).  "rect_pow2" pads each
-    axis independently — e.g. 1920x1080 -> 2048x1024 instead of 2048x2048
-    (1.9x fewer pixels), exposed as a perf option per SURVEY.md §7.3.
+    axis independently, a perf option per SURVEY.md §7.3.  Honest scope
+    note: at 1080p it degenerates to the square geometry
+    (NextPowerOfTwo(1080) = 2048 = NextPowerOfTwo(1920)); the win appears
+    at resolutions whose height crosses a lower power of two — e.g. 720p:
+    1280x720 -> 2048x1024 instead of 2048x2048, 2x fewer pixels (bench.py
+    publishes the measured trade).
     """
     if pad_mode == "square_pow2":
         n = _next_pow2(max(in_h, in_w))

@@ -25,12 +25,80 @@ from pbmm_tpu.config import MagnifyConfig
 from pbmm_tpu.engine.video import VideoState, magnify_video
 
 
-def _chunks_numpy(path: str, chunk_frames: int) -> Iterator[np.ndarray]:
+def _batch_frames(frame_iter, chunk_frames: int) -> Iterator[np.ndarray]:
+    """Group a frame iterator into (n, H, W, 3) chunks; memory is bounded
+    by one chunk."""
+    batch = []
+    for fr in frame_iter:
+        batch.append(np.asarray(fr, np.float32))
+        if len(batch) == chunk_frames:
+            yield np.stack(batch)
+            batch = []
+    if batch:
+        yield np.stack(batch)
+
+
+def _chunks_memmap_npy(path: str, chunk_frames: int) -> Iterator[np.ndarray]:
+    """Chunk a .npy file through a memmap: only one chunk of pixel data is
+    resident at a time (the `--stream` flat-memory contract)."""
+    mm = np.load(path, mmap_mode="r")
+    scale = np.float32(1.0 / 255.0) if mm.dtype == np.uint8 else None
+    for i in range(0, mm.shape[0], chunk_frames):
+        chunk = np.asarray(mm[i:i + chunk_frames])
+        yield chunk * scale if scale is not None else chunk.astype(np.float32)
+
+
+def _chunks_whole(path: str, chunk_frames: int) -> Iterator[np.ndarray]:
     from pbmm_tpu.io.video import load_video
 
     frames = load_video(path)
     for i in range(0, len(frames), chunk_frames):
         yield frames[i : i + chunk_frames]
+
+
+def frame_chunks(path: str, chunk_frames: int) -> Iterator[np.ndarray]:
+    """Bounded-memory chunk source for `--stream`.
+
+    - "-": y4m from stdin (a pipe, e.g. `ffmpeg ... -f yuv4mpegpipe - |`),
+      the offline analog of the reference's live per-frame feed;
+    - .y4m: frame-at-a-time iterator (`io.y4m.read_y4m_stream`);
+    - .npy: memmap slices (uint8 or f32 on disk);
+    - anything else: whole-file fallback (the container requires it).
+    """
+    if path == "-":
+        import sys
+
+        from pbmm_tpu.io.y4m import read_y4m_stream
+
+        yield from _batch_frames(
+            read_y4m_stream(sys.stdin.buffer, "<stdin>"), chunk_frames
+        )
+        return
+    lower = path.lower()
+    if lower.endswith(".y4m"):
+        from pbmm_tpu.io.y4m import read_y4m_frames
+
+        yield from _batch_frames(read_y4m_frames(path), chunk_frames)
+        return
+    if lower.endswith(".npy"):
+        yield from _chunks_memmap_npy(path, chunk_frames)
+        return
+    yield from _chunks_whole(path, chunk_frames)
+
+
+def _open_chunk_source(path: str, chunk_frames: int):
+    """(loader_or_None, chunk_iterator): the native double-buffered loader
+    for .npy when available (decode prefetch off the main thread),
+    otherwise the bounded-memory python sources above."""
+    if path != "-" and path.lower().endswith(".npy"):
+        try:
+            from pbmm_tpu.native import NativeFrameLoader
+
+            loader = NativeFrameLoader(path, chunk_frames)
+            return loader, iter(loader)
+        except (RuntimeError, ValueError):
+            pass
+    return None, frame_chunks(path, chunk_frames)
 
 
 def stream_magnify(
@@ -41,19 +109,11 @@ def stream_magnify(
 ) -> Iterator[np.ndarray]:
     """Yield magnified chunks of (n, H, W, 3) f32.
 
-    Uses the native double-buffered loader when available (uint8 .npy
-    streams convert to f32 off the main thread); otherwise falls back to a
-    whole-file numpy read.
+    Memory stays flat for long videos: .npy inputs stream through the
+    native double-buffered loader (or a memmap), .y4m inputs through the
+    frame-at-a-time parser, and `path="-"` reads a y4m stream from stdin.
     """
-    try:
-        from pbmm_tpu.native import NativeFrameLoader
-
-        loader = NativeFrameLoader(path, chunk_frames)
-        chunk_iter = iter(loader)
-    except (RuntimeError, ValueError):
-        loader = None
-        chunk_iter = _chunks_numpy(path, chunk_frames)
-
+    loader, chunk_iter = _open_chunk_source(path, chunk_frames)
     try:
         for chunk in chunk_iter:
             out, state = magnify_video(chunk, cfg, state=state)
@@ -87,6 +147,10 @@ def stream_magnify_resumable(
     from pbmm_tpu.engine.state import load_state, save_state
     from pbmm_tpu.io.video import video_shape
 
+    if input_path == "-":
+        raise ValueError("resumable streaming needs a re-readable input "
+                         "file (resume re-reads completed chunks); pipe "
+                         "input works with the non-checkpointed --stream")
     if not output_path.endswith(".npy"):
         raise ValueError("resumable streaming writes incremental .npy "
                          f"output, got {output_path!r}")
@@ -146,18 +210,10 @@ def _resume_chunks(
     """Yield (magnified_chunk, new_state) starting at frame `skip_frames`.
 
     The native prefetch loader has no seek, so already-completed chunks are
-    read and discarded (cheap: decode only, no device work); the numpy
+    read and discarded (cheap: decode only, no device work); the memmap
     fallback slices directly.
     """
-    try:
-        from pbmm_tpu.native import NativeFrameLoader
-
-        loader = NativeFrameLoader(input_path, chunk_frames)
-        chunk_iter = iter(loader)
-    except (RuntimeError, ValueError):
-        loader = None
-        chunk_iter = _chunks_numpy(input_path, chunk_frames)
-
+    loader, chunk_iter = _open_chunk_source(input_path, chunk_frames)
     seen = 0
     try:
         for chunk in chunk_iter:

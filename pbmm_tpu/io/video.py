@@ -45,12 +45,47 @@ def load_video(path: str) -> np.ndarray:
 
 def video_shape(path: str) -> tuple:
     """(T, H, W, C) of a video file without loading the pixel data when the
-    container allows it (.npy header / memmap); others fall back to a full
-    read."""
+    container allows it (.npy header / memmap, .y4m header + seek); others
+    fall back to a full read."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npy":
         return tuple(np.load(path, mmap_mode="r").shape)
+    if ext == ".y4m":
+        return _y4m_shape(path)
     return tuple(load_video(path).shape)
+
+
+def _y4m_shape(path: str) -> tuple:
+    """Count .y4m frames by seeking over the fixed-size frame payloads —
+    no pixel decode, O(T) tiny reads."""
+    from pbmm_tpu.io.y4m import _chroma_dims
+
+    with open(path, "rb") as f:
+        header = f.readline().decode("ascii", "replace").strip()
+        if not header.startswith("YUV4MPEG2"):
+            raise ValueError(f"{path!r} is not a YUV4MPEG2 stream")
+        w = h = 0
+        cs = "420jpeg"
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C":
+                cs = tok[1:]
+        cw, ch = _chroma_dims(w, h, cs)
+        frame_bytes = w * h + 2 * cw * ch
+        size = os.path.getsize(path)
+        t = 0
+        while True:
+            marker = f.readline()
+            if not marker or not marker.startswith(b"FRAME"):
+                break
+            if f.tell() + frame_bytes > size:
+                break  # truncated trailing frame
+            f.seek(frame_bytes, 1)
+            t += 1
+    return (t, h, w, 3)
 
 
 def save_video(path: str, frames: np.ndarray) -> None:

@@ -69,38 +69,76 @@ def _downsample(plane: np.ndarray, cw: int, ch: int) -> np.ndarray:
     return trimmed.reshape(ch, ry, cw, rx).mean(axis=(1, 3))
 
 
+def _read_exact(f, n: int) -> bytes:
+    """Read exactly n bytes, looping over short reads (pipes/stdin deliver
+    partial buffers)."""
+    chunks = []
+    got = 0
+    while got < n:
+        b = f.read(n - got)
+        if not b:
+            break
+        chunks.append(b)
+        got += len(b)
+    return b"".join(chunks)
+
+
+def _read_line(f) -> bytes:
+    """readline() that works on raw streams without universal newlines."""
+    if hasattr(f, "readline"):
+        return f.readline()
+    out = bytearray()
+    while True:
+        b = f.read(1)
+        if not b:
+            break
+        out += b
+        if b == b"\n":
+            break
+    return bytes(out)
+
+
+def read_y4m_stream(f, name: str = "<stream>") -> Iterator[np.ndarray]:
+    """Yield (H, W, 3) f32 RGB frames in [0, 1] from an open binary
+    stream — frame at a time, never materializing the whole clip.  Works
+    on non-seekable streams (pipes / stdin), the offline analog of the
+    reference's live per-frame `OnRenderImage` feed
+    (`MotionMagnificationProcessor.cs:101`)."""
+    header = _read_line(f).decode("ascii", "replace").strip()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError(f"{name!r} is not a YUV4MPEG2 stream")
+    w = h = 0
+    cs = "420jpeg"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C":
+            cs = tok[1:]
+    if not (w and h):
+        raise ValueError(f"{name!r}: missing W/H in y4m header")
+    cw, ch = _chroma_dims(w, h, cs)
+    ysz, csz = w * h, cw * ch
+    while True:
+        marker = _read_line(f)
+        if not marker:
+            return
+        if not marker.startswith(b"FRAME"):
+            raise ValueError(f"{name!r}: bad frame marker {marker[:20]!r}")
+        raw = _read_exact(f, ysz + 2 * csz)
+        if len(raw) < ysz + 2 * csz:
+            return
+        y = np.frombuffer(raw, np.uint8, ysz).reshape(h, w)
+        cb = np.frombuffer(raw, np.uint8, csz, ysz).reshape(ch, cw)
+        cr = np.frombuffer(raw, np.uint8, csz, ysz + csz).reshape(ch, cw)
+        yield _ycbcr_to_rgb(y, _upsample(cb, w, h), _upsample(cr, w, h))
+
+
 def read_y4m_frames(path: str) -> Iterator[np.ndarray]:
-    """Yield (H, W, 3) f32 RGB frames in [0, 1]."""
+    """Yield (H, W, 3) f32 RGB frames in [0, 1] from a .y4m file."""
     with open(path, "rb") as f:
-        header = f.readline().decode("ascii", "replace").strip()
-        if not header.startswith("YUV4MPEG2"):
-            raise ValueError(f"{path!r} is not a YUV4MPEG2 stream")
-        w = h = 0
-        cs = "420jpeg"
-        for tok in header.split()[1:]:
-            if tok[0] == "W":
-                w = int(tok[1:])
-            elif tok[0] == "H":
-                h = int(tok[1:])
-            elif tok[0] == "C":
-                cs = tok[1:]
-        if not (w and h):
-            raise ValueError(f"{path!r}: missing W/H in y4m header")
-        cw, ch = _chroma_dims(w, h, cs)
-        ysz, csz = w * h, cw * ch
-        while True:
-            marker = f.readline()
-            if not marker:
-                return
-            if not marker.startswith(b"FRAME"):
-                raise ValueError(f"{path!r}: bad frame marker {marker[:20]!r}")
-            raw = f.read(ysz + 2 * csz)
-            if len(raw) < ysz + 2 * csz:
-                return
-            y = np.frombuffer(raw, np.uint8, ysz).reshape(h, w)
-            cb = np.frombuffer(raw, np.uint8, csz, ysz).reshape(ch, cw)
-            cr = np.frombuffer(raw, np.uint8, csz, ysz + csz).reshape(ch, cw)
-            yield _ycbcr_to_rgb(y, _upsample(cb, w, h), _upsample(cr, w, h))
+        yield from read_y4m_stream(f, path)
 
 
 def load_y4m(path: str) -> np.ndarray:

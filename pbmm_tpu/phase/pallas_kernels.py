@@ -185,37 +185,18 @@ def _smoothstep(t):
 
 
 def _radial_mask(f, i: int, levels: int, min_f: float, max_f: float):
-    """In-kernel transcription of `pyramid.filters.radial_profile_jnp`
-    (same math as `GeneratePyramidFilters`, `PyramidOperations.compute:
-    25-87`); `f` is the radius tile."""
-    if i == 0:
-        return jnp.where(
-            f > max_f,
-            1.0,
-            jnp.where(
-                f > 0.8 * max_f,
-                _smoothstep((f - 0.8 * max_f) / (0.2 * max_f)),
-                0.0,
-            ),
-        )
-    if i == levels - 1:
-        return jnp.where(
-            f < min_f,
-            1.0,
-            jnp.where(
-                f < 1.2 * min_f,
-                1.0 - _smoothstep((f - min_f) / (0.2 * min_f)),
-                0.0,
-            ),
-        )
-    if levels == 3:
-        return jnp.zeros_like(f)  # the reference's L=3 NaN-ratio quirk
-    r = (i - 1) / (levels - 3)
-    c = min_f * (max_f / min_f) ** (1.0 - r)
-    lo, hi = c - 0.5 * c, c + 0.5 * c
-    t = (f - lo) / (hi - lo)
-    band = 0.5 * (1.0 + jnp.cos(2.0 * jnp.pi * (t - 0.5)))
-    return jnp.where((f >= lo) & (f <= hi), band, 0.0)
+    """In-kernel radial mask: ramp parameters from the single shared
+    source of truth (`pyramid.filters.radial_level_params`), evaluated
+    with Mosaic-legal ops (`GeneratePyramidFilters`,
+    `PyramidOperations.compute:25-87`); `f` is the radius tile."""
+    from pbmm_tpu.pyramid.filters import (
+        radial_level_params,
+        radial_profile_from_params,
+    )
+
+    kind, lo, hi, _ = radial_level_params(levels, min_f, max_f)[i]
+    return radial_profile_from_params(f, kind, lo, hi,
+                                      smoothstep=_smoothstep)
 
 
 def _make_procedural_kernel(levels: int, min_f: float, max_f: float,

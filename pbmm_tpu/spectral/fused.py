@@ -32,6 +32,7 @@ from pbmm_tpu.spectral.hermitian import (
     hermitian_kept_width,
     hermitian_saves,
     kept_lane_indices,
+    kept_segments,
     kept_tiles,
     reconstruction_plan,
     reversal_matrix,
@@ -105,16 +106,17 @@ def windowed_row_fft(y: jnp.ndarray, pad_h: int = 0, row0: int = 0,
     gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
 
-    tiles = kept_tiles(w) if keep_half else None
+    segs = kept_segments(w) if keep_half else None
     wk = hermitian_kept_width(w) if keep_half else w
     out_spec = pl.BlockSpec((1, block_h, wk), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
     def _keep(x):
-        if tiles is None or wk == w:
+        if segs is None or wk == w:
             return x
+        # Maximal contiguous runs (3 at W=2048), not per-tile slices.
         return jnp.concatenate(
-            [x[:, t * 128:(t + 1) * 128] for t in tiles], axis=1
+            [x[:, s * 128:e * 128] for s, e in segs], axis=1
         )
 
     def kernel(y_ref, wy_ref, wx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
@@ -201,24 +203,15 @@ def col_fft_zero_padded(re, im, pad_h: int, row0: int = 0,
 
 
 def _mask_params(cfg):
-    """Static per-plane radial-profile parameters: list of
-    (kind, lo, hi, amplified) with kind in {"high","low","band","zero"}."""
-    L = cfg.pyramid_levels
-    lo_f, hi_f = float(cfg.min_frequency), float(cfg.max_frequency)
-    out = []
-    for i in range(L):
-        amp = 0 < i < L - 1
-        if i == 0:
-            out.append(("high", 0.8 * hi_f, hi_f, False))
-        elif i == L - 1:
-            out.append(("low", lo_f, 1.2 * lo_f, False))
-        elif L == 3:
-            out.append(("zero", 0.0, 0.0, False))
-        else:
-            r = (i - 1) / (L - 3)
-            c = lo_f * (hi_f / lo_f) ** (1.0 - r)
-            out.append(("band", 0.5 * c, 1.5 * c, amp))
-    return tuple(out)
+    """Static per-plane radial-profile parameters (kind, lo, hi,
+    amplified) — from the single shared source of truth
+    (`pyramid.filters.radial_level_params`); only the in-kernel
+    evaluation below (polynomial cos) is Mosaic-specific."""
+    from pbmm_tpu.pyramid.filters import radial_level_params
+
+    return radial_level_params(
+        cfg.pyramid_levels, cfg.min_frequency, cfg.max_frequency
+    )
 
 
 @functools.lru_cache(maxsize=1)
@@ -246,6 +239,143 @@ def _cos_pi(u):
     return acc
 
 
+@functools.lru_cache(maxsize=1)
+def _atan_poly_coeffs():
+    """Odd polynomial atan(t) = t * P(t^2) on [0, 1], ~1e-8 absolute
+    (Chebyshev fit): Mosaic has no atan2 lowering, so the standard-mode
+    phase delta is evaluated with this + quadrant selects."""
+    ts = np.linspace(0.0, 1.0, 20001)
+    deg = 21
+    c = np.polynomial.chebyshev.Chebyshev.fit(ts, np.arctan(ts), deg)
+    p = c.convert(kind=np.polynomial.Polynomial)
+    coef = p.coef.astype(np.float64)
+    odd = coef[1::2]  # even powers vanish (odd function fit)
+    return tuple(float(v) for v in odd)
+
+
+def _atan2_poly(y, x):
+    """atan2(y, x) via the odd polynomial + quadrant logic (VPU-only).
+    (0, 0) returns 0 (the gated-bin convention, like `_unit_rotation`)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, jnp.float32(1e-38))
+    v = t * t
+    cs = _atan_poly_coeffs()
+    acc = jnp.float32(cs[-1])
+    for c in cs[-2::-1]:
+        acc = acc * v + jnp.float32(c)
+    a = t * acc
+    a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
+@functools.lru_cache(maxsize=1)
+def _sin_poly_coeffs():
+    """Odd polynomial sin(u) = u * Q(u^2) on [-pi, pi], ~1e-8 absolute."""
+    xs = np.linspace(-np.pi, np.pi, 20001)
+    deg = 17
+    c = np.polynomial.chebyshev.Chebyshev.fit(xs, np.sin(xs), deg)
+    p = c.convert(kind=np.polynomial.Polynomial)
+    coef = p.coef.astype(np.float64)
+    odd = coef[1::2]
+    return tuple(float(v) for v in odd)
+
+
+def _sin_pi(u):
+    """sin(u) for u in [-pi, pi]."""
+    cs = _sin_poly_coeffs()
+    v = u * u
+    acc = jnp.float32(cs[-1])
+    for c in cs[-2::-1]:
+        acc = acc * v + jnp.float32(c)
+    return u * acc
+
+
+_TWO_PI = float(2.0 * np.pi)
+
+
+def _sincos_any(theta):
+    """(cos, sin) of an arbitrary-magnitude angle: range-reduce to
+    [-pi, pi] (theta can reach phase_scale * pi * w_max in standard
+    mode), then the polynomial pair."""
+    r = theta - _TWO_PI * jnp.round(theta * jnp.float32(1.0 / _TWO_PI))
+    return _cos_pi(r), _sin_pi(r)
+
+
+def _pow_static(x, p: float):
+    """x**p for non-negative x with a STATIC exponent: unrolled squaring
+    for small integers, exp(p*log(x)) otherwise (both Mosaic-legal)."""
+    p = float(p)
+    if p.is_integer() and 0 <= p <= 16:
+        n = int(p)
+        acc = None
+        base = x
+        while n > 0:
+            if n & 1:
+                acc = base if acc is None else acc * base
+            base = base * base
+            n >>= 1
+        return acc if acc is not None else jnp.ones_like(x)
+    return jnp.exp(jnp.float32(p) * jnp.log(jnp.maximum(x, 1e-38)))
+
+
+def _standard_weight_block(freq, cfg):
+    """The standard mode's radial phase-delta weight w(f), evaluated
+    procedurally on a VMEM block — exact math of
+    `calculate_spatial_frequency` + `calculate_bandpass_weight`
+    (`PhaseDifferenceComputeShader.compute:74-122`), with pow as
+    integer-unroll/exp-log and sin via the [-pi, pi] polynomial
+    (sin(pi t) == cos(pi (t - 1/2)) keeps the argument in range)."""
+    f = jnp.minimum(freq * jnp.float32(1.0 / 0.707), 1.0)
+    if not cfg.apply_bandpass:
+        return jnp.ones_like(f)
+    lo = max(float(cfg.low_freq_cutoff), 1e-3)
+    hi_div = max(1.0 - float(cfg.high_freq_cutoff), 1e-3)
+    steep = float(cfg.filter_steepness)
+    w = jnp.ones_like(f)
+    w = jnp.where(f < cfg.low_freq_cutoff,
+                  _pow_static(f * jnp.float32(1.0 / lo), steep), w)
+    w = jnp.where(f > cfg.high_freq_cutoff,
+                  _pow_static((1.0 - f) * jnp.float32(1.0 / hi_div), steep),
+                  w)
+    w = w * jnp.float32(cfg.motion_sensitivity)
+    edge = float(cfg.edge_enhancement) if cfg.enhance_edges else 0.0
+    if edge:
+        t = (f - cfg.low_freq_cutoff) / (
+            cfg.high_freq_cutoff - cfg.low_freq_cutoff
+        )
+        mid = (f > cfg.low_freq_cutoff) & (f < cfg.high_freq_cutoff)
+        # sin(pi t) = cos(pi (t - 0.5)); mid-band t in (0, 1).
+        s = _cos_pi(jnp.float32(np.pi) * (jnp.clip(t, 0.0, 1.0) - 0.5))
+        w = jnp.where(mid, w * (1.0 + jnp.float32(edge) * s), w)
+    return jnp.maximum(w, 0.0)
+
+
+def _phase_block_standard(cr, ci, pr, pi_, fy_col, fx_row, cfg):
+    """Standard-mode whole-spectrum amplification on one VMEM block
+    (`ProcessPhaseDifference`, `PhaseDifferenceComputeShader.compute:
+    124-179`): delta = atan2 of prev*conj(cur), rotated by
+    delta * w(f) * phase_scale — transcendentals via the polynomial
+    atan2/sincos (Mosaic has no native lowering for them)."""
+    freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
+    w = _standard_weight_block(freq, cfg)
+    tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
+    gate_pass = ((cr * cr + ci * ci) < tau2) | ((pr * pr + pi_ * pi_) < tau2)
+
+    r_re = pr * cr + pi_ * ci  # prev * conj(cur)
+    r_im = pi_ * cr - pr * ci
+    delta = _atan2_poly(r_im, r_re)
+    rot_re, rot_im = _sincos_any(
+        delta * w * jnp.float32(cfg.phase_scale)
+    )
+    out_re = cr * rot_re - ci * rot_im
+    out_im = cr * rot_im + ci * rot_re
+    return (jnp.where(gate_pass, cr, out_re),
+            jnp.where(gate_pass, ci, out_im))
+
+
 def _eval_mask(kind, lo, hi, freq):
     if kind == "zero":
         return jnp.zeros_like(freq)
@@ -265,12 +395,18 @@ def _eval_mask(kind, lo, hi, freq):
 
 
 def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
-    """The fused pyramid amplification on one VMEM block (re/im parts).
+    """The fused band/phase amplification on one VMEM block (re/im
+    parts); dispatches to the standard-mode whole-spectrum pass when
+    cfg.mode == "standard".
 
-    Transcendental budget (they cost ~10x a mul-add on the VPU): ONE rsqrt
-    for the unit rotation.  Magnitude gates compare squares
-    (|z|*m >= tau  <=>  |z|^2*m^2 >= tau^2, all factors non-negative) and
-    the raised-cosine band profile uses the `_cos_pi` polynomial."""
+    Pyramid transcendental budget (they cost ~10x a mul-add on the VPU):
+    ONE rsqrt for the unit rotation when phase_scale is a small integer
+    (exact square-and-multiply), else the polynomial atan2 + sincos.
+    Magnitude gates compare squares (|z|*m >= tau <=> |z|^2*m^2 >= tau^2,
+    all factors non-negative) and the raised-cosine band profile uses the
+    `_cos_pi` polynomial."""
+    if cfg.mode == "standard":
+        return _phase_block_standard(cr, ci, pr, pi_, fy_col, fx_row, cfg)
     freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
     min_mag2 = jnp.minimum(cr * cr + ci * ci, pr * pr + pi_ * pi_)
     tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
@@ -303,9 +439,10 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
             n >>= 1
         rot_re, rot_im = rr, ri
     else:
-        delta = jnp.arctan2(r_im, r_re)
-        rot_re = jnp.cos(s * delta)
-        rot_im = jnp.sin(s * delta)
+        # Non-integer scale: polynomial atan2 + range-reduced sincos
+        # (jnp.arctan2 has no Mosaic lowering).
+        delta = _atan2_poly(r_im, r_re)
+        rot_re, rot_im = _sincos_any(jnp.float32(s) * delta)
 
     p = total - amped
     g_re = p + amped * rot_re
@@ -316,7 +453,8 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "out_rows", "full_w", "interpret"))
 def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
-                   out_rows=None, full_w=None, interpret: bool = False):
+                   out_rows=None, full_w=None, fx_values=None,
+                   interpret: bool = False):
     """(B, H, W) bitrev spectra pair -> column-axis IFFT of the
     phase-amplified spectrum (one kernel).
 
@@ -327,7 +465,12 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
     full_w: when the spectra are in the Hermitian-half kept-lane layout
     (`spectral/hermitian.py`), the true padded width; the per-lane
     frequency values are relabeled to the kept bins (zero runtime cost —
-    the kernel is unchanged, only the fx constant differs)."""
+    the kernel is unchanged, only the fx constant differs).
+
+    fx_values: optional TRACED (W,) f32 array of per-lane frequency
+    values, overriding the host-derived constant — the spatially-sharded
+    engine passes its shard's global-bin slice (which depends on
+    `axis_index` inside shard_map and so cannot be a host constant)."""
     b, h, w = cur_re.shape
     r0, r1 = out_rows if out_rows is not None else (0, h)
     twr_np, twi_np = _dif_twiddles(h, True)
@@ -336,11 +479,13 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
     gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
     fy = jnp.asarray(bitrev_freq_axis(h))[:, None]  # (H, 1)
-    if full_w is not None and full_w != w:
+    if fx_values is not None:
+        fx = jnp.asarray(fx_values, jnp.float32)[None, :]
+    elif full_w is not None and full_w != w:
         fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
+        fx = jnp.asarray(fx_np)[None, :]  # (1, W)
     else:
-        fx_np = bitrev_freq_axis(w)
-    fx = jnp.asarray(fx_np)[None, :]  # (1, W)
+        fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
 
     block_w = min(_LANE_BLOCK, w)
     grid = (b, pl.cdiv(w, block_w))
@@ -426,7 +571,10 @@ def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
                            memory_space=pltpu.VMEM)
 
     def _rebuild(xr, xi, j_ref):
-        """Kept-lane (Hb, Wk) -> full (Hb, fw) via the static plan."""
+        """Kept-lane (Hb, Wk) -> full (Hb, fw) via the static plan.
+        Consecutive verbatim-copy tiles merge into single big slices; only
+        the conj-reversed tiles go through the J matmul (a permutation
+        matrix: exact at any precision that keeps f32 values intact)."""
         jm = j_ref[...]
         dot = functools.partial(
             jax.lax.dot_general,
@@ -435,15 +583,24 @@ def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
             preferred_element_type=jnp.float32,
         )
         outs_r, outs_i = [], []
-        for kp, rev in plan:
-            tr = xr[:, kp * 128:(kp + 1) * 128]
-            ti = xi[:, kp * 128:(kp + 1) * 128]
-            if rev:
+        i = 0
+        while i < len(plan):
+            kp, rev = plan[i]
+            if not rev:
+                j = i
+                while (j + 1 < len(plan) and not plan[j + 1][1]
+                       and plan[j + 1][0] == plan[j][0] + 1):
+                    j += 1
+                lo, hi = plan[i][0] * 128, (plan[j][0] + 1) * 128
+                outs_r.append(xr[:, lo:hi])
+                outs_i.append(xi[:, lo:hi])
+                i = j + 1
+            else:
+                tr = xr[:, kp * 128:(kp + 1) * 128]
+                ti = xi[:, kp * 128:(kp + 1) * 128]
                 outs_r.append(dot(tr, jm))
                 outs_i.append(-dot(ti, jm))
-            else:
-                outs_r.append(tr)
-                outs_i.append(ti)
+                i += 1
         return (jnp.concatenate(outs_r, axis=1),
                 jnp.concatenate(outs_i, axis=1))
 
@@ -486,18 +643,16 @@ def fused_eligible(cfg) -> bool:
     """Whether the fully-fused spectral path serves this config (opt-in via
     `use_fused_spectral`).
 
-    Radial banks and integer phase scales only: Mosaic has no atan2
-    lowering, so the steerable angular windows and the non-integer
-    rotation (`exp(i*s*atan2(...))`) cannot run inside the kernel — those
-    configs take the XLA procedural pass, which handles both."""
-    s = float(cfg.phase_scale)
+    Both reference modes are served: pyramid (radial banks; integer
+    phase scales via the exact trig-free rotation, non-integer via the
+    polynomial atan2+sincos) and standard (whole-spectrum weighted
+    rotation, always polynomial).  Only the steerable angular extension
+    (orientations > 1) falls back to the XLA procedural pass."""
     return (
         cfg.use_fused_spectral
         and cfg.fft_backend == "pallas"
-        and cfg.mode == "pyramid"
+        and cfg.mode in ("pyramid", "standard")
         and cfg.temporal.mode == "two_frame"
         and not cfg.apply_magnitude_scale
-        and cfg.orientations <= 1
-        and s.is_integer()
-        and 0 <= s <= 64
+        and (cfg.mode == "standard" or cfg.orientations <= 1)
     )

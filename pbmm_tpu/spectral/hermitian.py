@@ -118,3 +118,21 @@ def reconstruction_plan(
 def reversal_matrix(lane: int = _LANE) -> np.ndarray:
     """The anti-identity J (lane x lane) f32: x @ J reverses lanes."""
     return np.eye(lane, dtype=np.float32)[:, ::-1].copy()
+
+
+@functools.lru_cache(maxsize=16)
+def kept_segments(w: int, lane: int = _LANE) -> Tuple[Tuple[int, int], ...]:
+    """The kept tiles merged into maximal contiguous (start_tile, end_tile)
+    runs — 3 runs at W=2048 ([0,3), [4,6), [8,12)) — so in-kernel
+    slicing/concatenation touches 3 big lane blocks, not 9 tile-sized
+    ones (fewer Mosaic copies)."""
+    kt = kept_tiles(w, lane)
+    runs = []
+    start = prev = kt[0]
+    for t in kt[1:]:
+        if t != prev + 1:
+            runs.append((start, prev + 1))
+            start = t
+        prev = t
+    runs.append((start, prev + 1))
+    return tuple(runs)

@@ -144,7 +144,33 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % n, axis)
 
 
+# MXU pass count for the intra-group matmul.  Mosaic implements only
+# DEFAULT (1-pass bf16 — far too lossy for 11 chained FFT stages) and
+# HIGHEST (6-pass bf16 = full f32); Precision.HIGH has no Mosaic
+# lowering (verified: "Unsupported dot precision: HIGH").  The MXU-time
+# lever used instead is the 3-multiplication (Karatsuba) complex product
+# in `_apply_intra_group` — 25% fewer MXU passes at HIGHEST.
+import os as _os
+
+_GM_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("PBMM_GM_PRECISION", "highest")]
+
+
 _DOT_DN = (((1,), (1,)), ((), ()))  # contract x's minor dim with A's k dim
+
+
+def _cmul_dots(dot, xr, xi, gr, gi):
+    """Complex matmul via the 3-multiplication (Karatsuba) identity:
+    yr = t1 - t2, yi = t3 - t1 - t2 with t1 = xr@gr, t2 = xi@gi,
+    t3 = (xr+xi)@(gr+gi) — 25% fewer MXU passes than the 4-dot form.
+    Error: one extra rounded add per operand (~1 ulp) on top of the
+    matmul's own error; measured end-to-end parity stays >140 dB."""
+    t1 = dot(xr, gr)
+    t2 = dot(xi, gi)
+    t3 = dot(xr + xi, gr + gi)
+    return t1 - t2, t3 - t1 - t2
 
 
 def _apply_intra_group(re, im, gr, gi, axis: int):
@@ -155,7 +181,7 @@ def _apply_intra_group(re, im, gr, gi, axis: int):
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=_DOT_DN,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_GM_PRECISION,
         preferred_element_type=jnp.float32,
     )
     if axis == 1:
@@ -166,15 +192,14 @@ def _apply_intra_group(re, im, gr, gi, axis: int):
         if xi is None:
             yr, yi = dot(xr, gr), dot(xr, gi)
         else:
-            yr = dot(xr, gr) - dot(xi, gi)
-            yi = dot(xr, gi) + dot(xi, gr)
+            yr, yi = _cmul_dots(dot, xr, xi, gr, gi)
         return yr.reshape(r, n), yi.reshape(r, n)
     # axis == 0: per-group left-multiply, statically unrolled over groups.
     n = re.shape[0]
     dotl = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_GM_PRECISION,
         preferred_element_type=jnp.float32,
     )
     outs_r, outs_i = [], []
@@ -185,8 +210,11 @@ def _apply_intra_group(re, im, gr, gi, axis: int):
         if xi is None:
             yr, yi = dotl(gr, xr), dotl(gi, xr)
         else:
-            yr = dotl(gr, xr) - dotl(gi, xi)
-            yi = dotl(gi, xr) + dotl(gr, xi)
+            # Same Karatsuba 3-dot form, left-multiplied: A @ x.
+            t1 = dotl(gr, xr)
+            t2 = dotl(gi, xi)
+            t3 = dotl(gr + gi, xr + xi)
+            yr, yi = t1 - t2, t3 - t1 - t2
         outs_r.append(yr)
         outs_i.append(yi)
     return jnp.concatenate(outs_r, axis=0), jnp.concatenate(outs_i, axis=0)
@@ -281,10 +309,11 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im,
 # Kernels: one axis per kernel, all stages fused, one HBM round trip
 # ---------------------------------------------------------------------------
 
-# Block sizes chosen so ~10 live f32 temporaries per stage fit the ~16 MB
-# scoped VMEM budget (the 11 unrolled stages keep u/v/butterfly temps live).
-_LANE_BLOCK = 128  # columns per grid step for the sublane-axis kernel
-_ROW_BLOCK = 64  # rows per grid step for the lane-axis kernel
+# Block sizes chosen so ~10 live f32 temporaries per stage fit the scoped
+# VMEM budget (the 11 unrolled stages keep u/v/butterfly temps live).
+# Env-tunable for on-hardware sweeps (PBMM_LANE_BLOCK / PBMM_ROW_BLOCK).
+_LANE_BLOCK = int(_os.environ.get("PBMM_LANE_BLOCK", "128"))
+_ROW_BLOCK = int(_os.environ.get("PBMM_ROW_BLOCK", "64"))
 
 
 @functools.partial(

@@ -30,7 +30,47 @@ def test_eligibility():
     assert not fused_eligible(
         FUSED.replace(temporal=TemporalConfig(mode="iir_bandpass"))
     )
-    assert not fused_eligible(FUSED.replace(mode="standard"))
+    # Both reference modes are served (standard since r3); only the
+    # steerable pyramid extension falls back to the XLA pass.
+    assert fused_eligible(FUSED.replace(mode="standard"))
+    assert fused_eligible(FUSED.replace(phase_scale=2.5))
+    assert not fused_eligible(FUSED.replace(orientations=4))
+
+
+def test_fused_standard_mode_matches_generic():
+    """Standard mode through the fused kernels (polynomial atan2 +
+    range-reduced sincos + procedural w(f)) vs the XLA pipeline."""
+    frames = oscillating_bar(size=64, frames=4, bar_width=2)
+    out_f = np.asarray(magnify_clip_batched(frames,
+                                            FUSED.replace(mode="standard")))
+    out_g = np.asarray(
+        magnify_clip_batched(frames, GENERIC.replace(mode="standard"))
+    )
+    assert psnr(out_f, out_g) > 70.0
+
+
+def test_fused_standard_scene_config_matches_generic():
+    """The demo scene's serialized overrides (phase_scale=1,
+    high_cutoff=0.3, steepness=2) in standard mode."""
+    from pbmm_tpu.config import MagnifyConfig
+
+    scene = MagnifyConfig.scene_defaults().replace(mode="standard")
+    fused = scene.replace(fft_backend="pallas", use_rfft=False,
+                          use_fused_spectral=True, interpret_pallas=True)
+    frames = oscillating_bar(size=64, frames=3, bar_width=2)
+    out_f = np.asarray(magnify_clip_batched(frames, fused))
+    out_g = np.asarray(magnify_clip_batched(frames, scene))
+    assert psnr(out_f, out_g) > 70.0
+
+
+def test_fused_standard_no_bandpass_and_steepness_float():
+    frames = oscillating_bar(size=64, frames=3, bar_width=2)
+    for kw in ({"apply_bandpass": False}, {"filter_steepness": 2.7}):
+        out_f = np.asarray(magnify_clip_batched(
+            frames, FUSED.replace(mode="standard", **kw)))
+        out_g = np.asarray(magnify_clip_batched(
+            frames, GENERIC.replace(mode="standard", **kw)))
+        assert psnr(out_f, out_g) > 70.0, kw
 
 
 def test_windowed_row_fft_matches_unfused(rng):
@@ -165,6 +205,23 @@ class TestHermitianHalf:
         out_h = np.asarray(magnify_clip_batched(frames, HERM))
         out_f = np.asarray(magnify_clip_batched(frames, FUSED))
         assert psnr(out_h, out_f) > 70.0
+
+    def test_standard_mode_hermitian(self, rng):
+        """Standard mode preserves the lane-Hermitian symmetry too (w(f)
+        even, delta odd, gates even): kept-lane standard vs generic."""
+        from pbmm_tpu.engine.pipeline import magnify_frame_pair
+
+        prev = rng.random((300, 400, 3)).astype(np.float32)
+        cur = np.clip(prev + 0.01 * rng.random((300, 400, 3)), 0, 1).astype(
+            np.float32
+        )
+        out_h = np.asarray(
+            magnify_frame_pair(prev, cur, HERM.replace(mode="standard"))
+        )
+        out_g = np.asarray(
+            magnify_frame_pair(prev, cur, GENERIC.replace(mode="standard"))
+        )
+        assert psnr(out_h, out_g) > 70.0
 
     def test_scan_engine_state_shapes(self):
         """The carried previous-spectrum state is kept-width; chunked

