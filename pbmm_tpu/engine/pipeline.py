@@ -298,8 +298,8 @@ def blur_row_window(geom: Geometry, cfg: MagnifyConfig):
 
 def amplify_reconstruct_fused(
     cur_spec: jnp.ndarray, prev_spec: jnp.ndarray, cfg: MagnifyConfig,
-    out_rows=None, full_w=None,
-) -> jnp.ndarray:
+    out_rows=None, full_w=None, temporal_state=None,
+):
     """Band/phase amplification fused into the column-IFFT kernel, plus the
     row-IFFT fused with the |z| reduction: the modified spectrum and the
     complex reconstruction never round-trip HBM (two kernels instead of
@@ -322,18 +322,36 @@ def amplify_reconstruct_fused(
     r0, r1 = out_rows if out_rows is not None else (0, shape[-2])
     flat_c = cur_spec.reshape((-1,) + shape[-2:])
     flat_p = prev_spec.reshape((-1,) + shape[-2:])
+    iir = cfg.temporal.mode == "iir_bandpass"
+    lp_kw = {}
+    if iir:
+        # The streaming IIR low-pass taps ride the phase kernel as carry
+        # planes (read once, written once — same HBM shape as a spectrum
+        # plane); BASELINE configs 2-3 run the fused path this way.
+        lp_kw = dict(
+            lp_fast=temporal_state.lp_fast.reshape((-1,) + shape[-2:]),
+            lp_slow=temporal_state.lp_slow.reshape((-1,) + shape[-2:]),
+        )
     with jax.named_scope("pbmm.phase_ifft_fused"):
-        rre, rim = phase_col_ifft(
+        res = phase_col_ifft(
             jnp.real(flat_c), jnp.imag(flat_c),
             jnp.real(flat_p), jnp.imag(flat_p),
             cfg, out_rows=out_rows, full_w=fw,
-            interpret=cfg.interpret_pallas,
+            interpret=cfg.interpret_pallas, **lp_kw,
         )
+        if iir:
+            rre, rim, nlpf, nlps = res
+            new_state = TemporalState(
+                nlpf.reshape(shape), nlps.reshape(shape)
+            )
+        else:
+            rre, rim = res
+            new_state = temporal_state
         rec = row_ifft_magnitude(
             rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
             pad_h=shape[-2], full_w=fw, interpret=cfg.interpret_pallas,
         )
-    return rec.reshape(shape[:-2] + (r1 - r0, fw))
+    return rec.reshape(shape[:-2] + (r1 - r0, fw)), new_state
 
 
 def postprocess(
@@ -420,10 +438,11 @@ def magnify_frame_pair(
         return cur_rgb.astype(jnp.float32)
     cur_spec, cur_yiq = preprocess(cur_rgb, cfg)
     prev_spec, _ = preprocess(prev_rgb, cfg)
-    if fused_reconstruct_ok(cfg, cur_spec.shape):
+    if fused_reconstruct_ok(cfg, cur_spec.shape) \
+            and cfg.temporal.mode == "two_frame":
         geom = _geometry(cur_rgb.shape, cfg)
         rows = blur_row_window(geom, cfg)
-        chans = amplify_reconstruct_fused(
+        chans, _ = amplify_reconstruct_fused(
             cur_spec, prev_spec, cfg, out_rows=rows, full_w=geom.pad_w
         )
         return jnp.moveaxis(

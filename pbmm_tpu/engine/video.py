@@ -85,13 +85,13 @@ def video_step(
 
         geom = geometry_for(frame.shape[-3], frame.shape[-2], cfg.pad_mode)
         rows = blur_row_window(geom, cfg)
-        chans = amplify_reconstruct_fused(
-            cur_spec, prev_spec, cfg, out_rows=rows, full_w=geom.pad_w
+        chans, new_temporal = amplify_reconstruct_fused(
+            cur_spec, prev_spec, cfg, out_rows=rows, full_w=geom.pad_w,
+            temporal_state=state.temporal,
         )
         out = jnp.moveaxis(
             posttail(chans, cur_yiq, cfg, row0=rows[0]), -3, -1
         )
-        new_temporal = state.temporal
     else:
         mod_spec, new_temporal = amplify_spectrum(
             cur_spec, prev_spec, cfg, state.temporal

@@ -121,11 +121,20 @@ def windowed_row_fft(y: jnp.ndarray, pad_h: int = 0, row0: int = 0,
 
     def kernel(y_ref, wy_ref, wx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
                ore, oim):
+        from pbmm_tpu.spectral.pallas_fft import _apply_intra_group
+
         yy = y_ref[0] * wy_ref[:] * wx_ref[:]
+        keep_gm = segs is not None and wk != w and w >= 128
         rr, ii = _fft_stages(yy, None, w, 1, False, twr_ref, twi_ref,
-                             gm=(gr_ref[...], gi_ref[...]))
-        ore[0] = _keep(rr)
-        oim[0] = _keep(ii)
+                             gm=(gr_ref[...], gi_ref[...]),
+                             apply_gm=not keep_gm)
+        rr, ii = _keep(rr), _keep(ii)
+        if keep_gm:
+            # The intra-group stages are tile-local, so the matmul runs
+            # on the kept tiles only — 9/16 of the MXU work at W=2048.
+            rr, ii = _apply_intra_group(rr, ii, gr_ref[...], gi_ref[...], 1)
+        ore[0] = rr
+        oim[0] = ii
 
     return pl.pallas_call(
         kernel,
@@ -241,15 +250,20 @@ def _cos_pi(u):
 
 @functools.lru_cache(maxsize=1)
 def _atan_poly_coeffs():
-    """Odd polynomial atan(t) = t * P(t^2) on [0, 1], ~1e-8 absolute
+    """Odd polynomial atan(t) = t * P(t^2) on [-1, 1], ~1e-9 absolute
     (Chebyshev fit): Mosaic has no atan2 lowering, so the standard-mode
-    phase delta is evaluated with this + quadrant selects."""
-    ts = np.linspace(0.0, 1.0, 20001)
+    phase delta is evaluated with this + quadrant selects.
+
+    The fit domain MUST be the symmetric [-1, 1]: only there is atan odd
+    so the even power-series coefficients genuinely vanish (a [0, 1] fit
+    has nonzero even terms, and dropping them corrupts the value — the
+    r3 probe caught exactly that: 1.2 rad error at t ~ 1)."""
+    ts = np.linspace(-1.0, 1.0, 40001)
     deg = 21
     c = np.polynomial.chebyshev.Chebyshev.fit(ts, np.arctan(ts), deg)
     p = c.convert(kind=np.polynomial.Polynomial)
     coef = p.coef.astype(np.float64)
-    odd = coef[1::2]  # even powers vanish (odd function fit)
+    odd = coef[1::2]  # even powers vanish (odd function, symmetric fit)
     return tuple(float(v) for v in odd)
 
 
@@ -394,7 +408,17 @@ def _eval_mask(kind, lo, hi, freq):
     return jnp.where((freq >= lo) & (freq <= hi), band, 0.0)
 
 
-def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
+def _iir_filter_delta(delta, lpf, lps, cfg):
+    """One step of the streaming IIR band-pass on the delta plane
+    (`phase/temporal.py::temporal_apply`, same recurrence):
+    lp += r (delta - lp); band = lp_fast - lp_slow."""
+    r_hi, r_lo = cfg.temporal.smoothing_factors()
+    new_lpf = lpf + jnp.float32(r_hi) * (delta - lpf)
+    new_lps = lps + jnp.float32(r_lo) * (delta - lps)
+    return new_lpf - new_lps, new_lpf, new_lps
+
+
+def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None):
     """The fused band/phase amplification on one VMEM block (re/im
     parts); dispatches to the standard-mode whole-spectrum pass when
     cfg.mode == "standard".
@@ -404,9 +428,41 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
     (exact square-and-multiply), else the polynomial atan2 + sincos.
     Magnitude gates compare squares (|z|*m >= tau <=> |z|^2*m^2 >= tau^2,
     all factors non-negative) and the raised-cosine band profile uses the
-    `_cos_pi` polynomial."""
-    if cfg.mode == "standard":
+    `_cos_pi` polynomial.
+
+    lpf/lps: the streaming IIR low-pass carry planes when
+    cfg.temporal.mode == "iir_bandpass" (the delta is then computed via
+    polynomial atan2, band-passed in-kernel, and the rotation uses the
+    filtered delta).  Returns (out_re, out_im) or, with IIR,
+    (out_re, out_im, new_lpf, new_lps)."""
+    iir = cfg.temporal.mode == "iir_bandpass"
+    if cfg.mode == "standard" and not iir:
         return _phase_block_standard(cr, ci, pr, pi_, fy_col, fx_row, cfg)
+
+    r_re = pr * cr + pi_ * ci  # prev * conj(cur)
+    r_im = pi_ * cr - pr * ci
+
+    delta_override = None
+    if iir:
+        delta = _atan2_poly(r_im, r_re)
+        delta_override, new_lpf, new_lps = _iir_filter_delta(
+            delta, lpf, lps, cfg
+        )
+
+    if cfg.mode == "standard":
+        freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
+        w = _standard_weight_block(freq, cfg)
+        tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
+        gate_pass = ((cr * cr + ci * ci) < tau2) | (
+            (pr * pr + pi_ * pi_) < tau2
+        )
+        rot_re, rot_im = _sincos_any(
+            delta_override * w * jnp.float32(cfg.phase_scale)
+        )
+        out_re = jnp.where(gate_pass, cr, cr * rot_re - ci * rot_im)
+        out_im = jnp.where(gate_pass, ci, cr * rot_im + ci * rot_re)
+        return out_re, out_im, new_lpf, new_lps
+
     freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
     min_mag2 = jnp.minimum(cr * cr + ci * ci, pr * pr + pi_ * pi_)
     tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
@@ -423,9 +479,9 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
 
     # rotation e^{i s delta}
     s = float(cfg.phase_scale)
-    r_re = pr * cr + pi_ * ci  # prev * conj(cur)
-    r_im = pi_ * cr - pr * ci
-    if s.is_integer() and 0 <= s <= 64:
+    if delta_override is not None:
+        rot_re, rot_im = _sincos_any(jnp.float32(s) * delta_override)
+    elif s.is_integer() and 0 <= s <= 64:
         m2 = r_re * r_re + r_im * r_im
         inv = jnp.where(m2 > 0, jax.lax.rsqrt(jnp.maximum(m2, 1e-38)), 0.0)
         zr, zi = r_re * inv, r_im * inv
@@ -447,13 +503,18 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg):
     p = total - amped
     g_re = p + amped * rot_re
     g_im = amped * rot_im
-    return cr * g_re - ci * g_im, cr * g_im + ci * g_re
+    out_re = cr * g_re - ci * g_im
+    out_im = cr * g_im + ci * g_re
+    if iir:
+        return out_re, out_im, new_lpf, new_lps
+    return out_re, out_im
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "out_rows", "full_w", "interpret"))
 def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
                    out_rows=None, full_w=None, fx_values=None,
+                   lp_fast=None, lp_slow=None,
                    interpret: bool = False):
     """(B, H, W) bitrev spectra pair -> column-axis IFFT of the
     phase-amplified spectrum (one kernel).
@@ -503,32 +564,64 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
     out_spec = pl.BlockSpec((1, r1 - r0, block_w), lambda i, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
 
-    def kernel(cr_ref, ci_ref, pr_ref, pi_ref, fy_ref, fx_ref,
-               twr_ref, twi_ref, gr_ref, gi_ref, ore, oim):
-        mr, mi = _phase_block(
-            cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
-            fy_ref[:], fx_ref[:], cfg,
-        )
+    iir = cfg.temporal.mode == "iir_bandpass"
+    if iir and (lp_fast is None or lp_slow is None):
+        raise ValueError("iir_bandpass needs lp_fast/lp_slow carry planes")
+
+    def kernel(*refs):
+        if iir:
+            (cr_ref, ci_ref, pr_ref, pi_ref, lpf_ref, lps_ref, fy_ref,
+             fx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
+             ore, oim, olpf, olps) = refs
+            mr, mi, nlpf, nlps = _phase_block(
+                cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
+                fy_ref[:], fx_ref[:], cfg,
+                lpf=lpf_ref[0], lps=lps_ref[0],
+            )
+            olpf[0] = nlpf
+            olps[0] = nlps
+        else:
+            (cr_ref, ci_ref, pr_ref, pi_ref, fy_ref, fx_ref,
+             twr_ref, twi_ref, gr_ref, gi_ref, ore, oim) = refs
+            mr, mi = _phase_block(
+                cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
+                fy_ref[:], fx_ref[:], cfg,
+            )
         rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
                              gm=(gr_ref[...], gi_ref[...]))
         ore[0] = rr[r0:r1]
         oim[0] = ii[r0:r1]
 
-    return pl.pallas_call(
+    in_specs = [spec, spec, spec, spec]
+    inputs = [cur_re, cur_im, prev_re, prev_im]
+    out_specs = [out_spec, out_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
+        jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
+    ]
+    if iir:
+        in_specs += [spec, spec]
+        inputs += [lp_fast, lp_slow]
+        out_specs += [spec, spec]  # full-height carry planes
+        out_shape += [
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ]
+    in_specs += [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec]
+    inputs += [fy, fx, twr, twi, gr, gi]
+
+    res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec, spec, spec, spec, fy_spec, fx_spec, tw_spec, tw_spec,
-                  gm_spec, gm_spec],
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(cur_re, cur_im, prev_re, prev_im, fy, fx, twr, twi, gr, gi)
+    )(*inputs)
+    return res  # (re, im) or (re, im, new_lp_fast, new_lp_slow)
 
 
 @functools.partial(jax.jit,
@@ -646,13 +739,15 @@ def fused_eligible(cfg) -> bool:
     Both reference modes are served: pyramid (radial banks; integer
     phase scales via the exact trig-free rotation, non-integer via the
     polynomial atan2+sincos) and standard (whole-spectrum weighted
-    rotation, always polynomial).  Only the steerable angular extension
+    rotation, always polynomial), with either the two-frame temporal
+    model or the streaming IIR band-pass (the low-pass taps ride the
+    kernel as carry planes).  Only the steerable angular extension
     (orientations > 1) falls back to the XLA procedural pass."""
     return (
         cfg.use_fused_spectral
         and cfg.fft_backend == "pallas"
         and cfg.mode in ("pyramid", "standard")
-        and cfg.temporal.mode == "two_frame"
+        and cfg.temporal.mode in ("two_frame", "iir_bandpass")
         and not cfg.apply_magnitude_scale
         and (cfg.mode == "standard" or cfg.orientations <= 1)
     )

@@ -144,32 +144,52 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % n, axis)
 
 
-# MXU pass count for the intra-group matmul.  Mosaic implements only
+# MXU pass strategy for the intra-group matmul.  Mosaic implements only
 # DEFAULT (1-pass bf16 — far too lossy for 11 chained FFT stages) and
 # HIGHEST (6-pass bf16 = full f32); Precision.HIGH has no Mosaic
-# lowering (verified: "Unsupported dot precision: HIGH").  The MXU-time
-# lever used instead is the 3-multiplication (Karatsuba) complex product
-# in `_apply_intra_group` — 25% fewer MXU passes at HIGHEST.
+# lowering (verified: "Unsupported dot precision: HIGH").  Two levers cut
+# MXU time instead:
+#   - the 3-multiplication (Karatsuba) complex product (25% fewer dots);
+#   - "b3": a manual two-term bf16 split of each operand (x = hi + lo,
+#     both bf16; bf16 x bf16 -> f32 products are EXACT) keeping the
+#     hi*hi + hi*lo + lo*hi terms — 3 one-pass dots per real product
+#     (~2^-18 relative from the dropped lo*lo term, far below the f32
+#     FFT's own accumulated rounding) vs HIGHEST's 6 passes.
+# PBMM_GM_PRECISION={b3 (default), highest, default} for experiments.
 import os as _os
 
+_GM_MODE = _os.environ.get("PBMM_GM_PRECISION", "b3")
 _GM_PRECISION = {
+    "b3": jax.lax.Precision.DEFAULT,  # passes are built manually
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("PBMM_GM_PRECISION", "highest")]
+}[_GM_MODE]
 
 
 _DOT_DN = (((1,), (1,)), ((), ()))  # contract x's minor dim with A's k dim
 
 
+def _b3_dot(dot, x, g):
+    """f32-in/f32-out dot as 3 exact one-pass bf16 dots (see _GM_MODE)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    gh = g.astype(jnp.bfloat16)
+    gl = (g - gh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(xh, gh) + dot(xh, gl) + dot(xl, gh)
+
+
 def _cmul_dots(dot, xr, xi, gr, gi):
     """Complex matmul via the 3-multiplication (Karatsuba) identity:
     yr = t1 - t2, yi = t3 - t1 - t2 with t1 = xr@gr, t2 = xi@gi,
-    t3 = (xr+xi)@(gr+gi) — 25% fewer MXU passes than the 4-dot form.
+    t3 = (xr+xi)@(gr+gi) — 25% fewer MXU dots than the 4-dot form.
     Error: one extra rounded add per operand (~1 ulp) on top of the
-    matmul's own error; measured end-to-end parity stays >140 dB."""
-    t1 = dot(xr, gr)
-    t2 = dot(xi, gi)
-    t3 = dot(xr + xi, gr + gi)
+    matmul's own error; measured end-to-end parity stays >140 dB.
+    Under _GM_MODE == "b3" each real dot is the 3-pass manual bf16
+    split (9 one-pass dots per complex product, vs 18 HIGHEST passes)."""
+    d = (lambda a, b: _b3_dot(dot, a, b)) if _GM_MODE == "b3" else dot
+    t1 = d(xr, gr)
+    t2 = d(xi, gi)
+    t3 = d(xr + xi, gr + gi)
     return t1 - t2, t3 - t1 - t2
 
 
@@ -211,9 +231,11 @@ def _apply_intra_group(re, im, gr, gi, axis: int):
             yr, yi = dotl(gr, xr), dotl(gi, xr)
         else:
             # Same Karatsuba 3-dot form, left-multiplied: A @ x.
-            t1 = dotl(gr, xr)
-            t2 = dotl(gi, xi)
-            t3 = dotl(gr + gi, xr + xi)
+            d = (lambda a, b: _b3_dot(dotl, a, b)) if _GM_MODE == "b3" \
+                else dotl
+            t1 = d(gr, xr)
+            t2 = d(gi, xi)
+            t3 = d(gr + gi, xr + xi)
             yr, yi = t1 - t2, t3 - t1 - t2
         outs_r.append(yr)
         outs_i.append(yi)
@@ -221,7 +243,7 @@ def _apply_intra_group(re, im, gr, gi, axis: int):
 
 
 def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im,
-                gm=None):
+                gm=None, apply_gm=True):
     """Run all log2(n) radix-2 stages along `axis` of (re, im).
 
     tw_re/tw_im: (stages, n) f32 refs-values; broadcast along the other
@@ -300,7 +322,10 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im,
                 jnp.where(top, re + ut_re, v_re - xt_re),
                 jnp.where(top, im + ut_im, v_im - xt_im),
             )
-    if gm is not None and n >= 128 and not inverse:
+    if gm is not None and n >= 128 and not inverse and apply_gm:
+        # apply_gm=False: the caller applies the (tile-local) intra-group
+        # matmul itself — e.g. on the kept Hermitian-half tiles only,
+        # after slicing away tiles whose output would be discarded.
         re, im = _apply_intra_group(re, im, gm[0], gm[1], axis)
     return re, im
 

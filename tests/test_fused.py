@@ -27,11 +27,12 @@ def test_eligibility():
     assert not fused_eligible(GENERIC)  # xla backend
     from pbmm_tpu.config import TemporalConfig
 
-    assert not fused_eligible(
+    # Both reference modes AND both temporal models are served (standard
+    # + IIR since r3); only the steerable pyramid extension falls back to
+    # the XLA pass.
+    assert fused_eligible(
         FUSED.replace(temporal=TemporalConfig(mode="iir_bandpass"))
     )
-    # Both reference modes are served (standard since r3); only the
-    # steerable pyramid extension falls back to the XLA pass.
     assert fused_eligible(FUSED.replace(mode="standard"))
     assert fused_eligible(FUSED.replace(phase_scale=2.5))
     assert not fused_eligible(FUSED.replace(orientations=4))

@@ -79,6 +79,22 @@ def test_sharded_tuned_frame_axis_matches_default_path():
     assert psnr(out[0], np.asarray(ref)) > 70.0
 
 
+def test_sharded_tuned_hermitian_active():
+    """Tuned config with the Hermitian-half kept-lane layout ACTIVE
+    (pad >= 512) under the ("data", "frame") mesh — the kept-width
+    spectra cross the frame-shard halo."""
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import hermitian_active
+
+    clip = oscillating_gaussian_blob(height=200, width=300, frames=4)
+    assert hermitian_active(TUNED, geometry_for(200, 300))
+    batch = np.stack([clip, clip[:, ::-1]])
+    mesh = make_mesh((2, 4))
+    out = np.asarray(magnify_batch_sharded(batch, TUNED, mesh))
+    ref = np.asarray(magnify_clip_batched(clip, CFG))
+    assert psnr(out[0], ref) > 70.0
+
+
 def test_batched_rejects_iir_mode():
     from pbmm_tpu.config import TemporalConfig
 
