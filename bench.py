@@ -175,6 +175,14 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
     std_fps = fps_of(frames_1080, cfg_tuned.replace(mode="standard"))
     log(f"standard-mode (fused): {std_fps:.2f} fps 1080p/chip")
 
+    # Streaming IIR temporal mode (BASELINE configs 2-5) — the low-pass
+    # taps ride the fused phase kernel as carry planes since r3.
+    from pbmm_tpu.config import TemporalConfig
+
+    iir_fps = fps_of(frames_1080, cfg_tuned.replace(
+        temporal=TemporalConfig(mode="iir_bandpass")))
+    log(f"iir-temporal (fused): {iir_fps:.2f} fps 1080p/chip")
+
     # rect_pow2 trade: degenerate at 1080p (next_pow2(1080) = 2048 =
     # square), real at 720p (2048x1024 vs 2048x2048 = 2x fewer pixels).
     rng = np.random.default_rng(1)

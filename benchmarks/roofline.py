@@ -226,8 +226,10 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
         return best
 
     # Per-iteration device time = least-squares slope of min-wall vs k;
-    # dispatch/RPC cost is the intercept and cancels.
-    ks = [max(8, reps // 2), max(8, reps // 2) + 40, max(8, reps // 2) + 80]
+    # dispatch/RPC cost is the intercept and cancels.  Two k points (an
+    # exact two-point slope) halve the remote-compile count vs three —
+    # the tunnel's compile service can take minutes per executable.
+    ks = [max(8, reps // 2), max(8, reps // 2) + 80]
     results = []
     for name, fn, args, opaque in stages:
         walls = [timed(fn, args, k, opaque) for k in ks]

@@ -102,10 +102,13 @@ def main():
     pi_ = (ci + 0.05 * rng.standard_normal(n).reshape(8, 128)).astype(np.float32)
     fy = (rng.random(8).astype(np.float32) - 0.5).reshape(8, 1)
     fx = (rng.random(128).astype(np.float32) - 0.5).reshape(1, 128)
+    fy_b = np.broadcast_to(fy, (8, 128)).astype(np.float32).copy()
+    fx_b = np.broadcast_to(fx, (8, 128)).astype(np.float32).copy()
     got_re = run_kernel(
-        lambda a, b, c, d: _phase_block_standard(
-            a, b, c, d, jnp.asarray(fy), jnp.asarray(fx), cfg)[0],
-        jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(pr), jnp.asarray(pi_))
+        lambda a, b, c, d, e, f: _phase_block_standard(
+            a, b, c, d, e, f, cfg)[0],
+        jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(pr), jnp.asarray(pi_),
+        jnp.asarray(fy_b), jnp.asarray(fx_b))
     # fp64 reference
     C = cr.astype(np.float64) + 1j * ci
     P = pr.astype(np.float64) + 1j * pi_

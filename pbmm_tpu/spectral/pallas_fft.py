@@ -153,12 +153,15 @@ def _roll(x, shift, axis):
 #   - "b3": a manual two-term bf16 split of each operand (x = hi + lo,
 #     both bf16; bf16 x bf16 -> f32 products are EXACT) keeping the
 #     hi*hi + hi*lo + lo*hi terms — 3 one-pass dots per real product
-#     (~2^-18 relative from the dropped lo*lo term, far below the f32
-#     FFT's own accumulated rounding) vs HIGHEST's 6 passes.
-# PBMM_GM_PRECISION={b3 (default), highest, default} for experiments.
+#     (~2^-18 relative from the dropped lo*lo term) vs HIGHEST's 6.
+# Measured on hardware: b3 changed 1080p throughput by +0.1% (the MXU is
+# not the bottleneck once Karatsuba is in) while costing ~30 dB of
+# oracle-parity margin (146 -> 113 dB), so HIGHEST stays the default and
+# b3 remains an experiment flag.
+# PBMM_GM_PRECISION={highest (default), b3, default}.
 import os as _os
 
-_GM_MODE = _os.environ.get("PBMM_GM_PRECISION", "b3")
+_GM_MODE = _os.environ.get("PBMM_GM_PRECISION", "highest")
 _GM_PRECISION = {
     "b3": jax.lax.Precision.DEFAULT,  # passes are built manually
     "default": jax.lax.Precision.DEFAULT,
@@ -204,13 +207,17 @@ def _apply_intra_group(re, im, gr, gi, axis: int):
         precision=_GM_PRECISION,
         preferred_element_type=jnp.float32,
     )
+    # Under "b3" every dot must go through the manual split — the raw
+    # dot at _GM_PRECISION would be a single lossy bf16 pass (cost 80 dB
+    # of end-to-end parity when the real-input branch hit it at N=128).
+    d1 = (lambda a, b: _b3_dot(dot, a, b)) if _GM_MODE == "b3" else dot
     if axis == 1:
         r, n = re.shape
         xr = re.reshape(r * (n // 128), 128)
         xi = None if im is None else im.reshape(r * (n // 128), 128)
         # out[..., m] = sum_k x[..., k] * A[m, k]
         if xi is None:
-            yr, yi = dot(xr, gr), dot(xr, gi)
+            yr, yi = d1(xr, gr), d1(xr, gi)
         else:
             yr, yi = _cmul_dots(dot, xr, xi, gr, gi)
         return yr.reshape(r, n), yi.reshape(r, n)
@@ -227,12 +234,11 @@ def _apply_intra_group(re, im, gr, gi, axis: int):
         sl = slice(g * 128, (g + 1) * 128)
         xr = re[sl]
         xi = None if im is None else im[sl]
+        d = (lambda a, b: _b3_dot(dotl, a, b)) if _GM_MODE == "b3" else dotl
         if xi is None:
-            yr, yi = dotl(gr, xr), dotl(gi, xr)
+            yr, yi = d(gr, xr), d(gi, xr)
         else:
             # Same Karatsuba 3-dot form, left-multiplied: A @ x.
-            d = (lambda a, b: _b3_dot(dotl, a, b)) if _GM_MODE == "b3" \
-                else dotl
             t1 = d(gr, xr)
             t2 = d(gi, xi)
             t3 = d(gr + gi, xr + xi)
