@@ -83,6 +83,25 @@ def main():
     fps = t * reps / dt
     log(f"steady: {dt:.3f}s for {t * reps} frames -> {fps:.2f} fps")
 
+    # Dispatch-sync cross-check: the sync above is a 1-element fetch
+    # (block_until_ready returns early on the tunneled runtime), so verify
+    # the claim that all queued executions really completed by timing 2x
+    # the reps — if the fetch were returning before the queue drained,
+    # doubling the queue would NOT double the wall time.
+    t0 = time.perf_counter()
+    for _ in range(2 * reps):
+        out, state = magnify_video(frames_dev, cfg, state)
+    sync(out)
+    dt2 = time.perf_counter() - t0
+    ratio = dt2 / dt
+    log(f"sync check: 2x reps took {ratio:.2f}x the time "
+        f"({'OK' if 1.7 <= ratio <= 2.3 else 'SUSPECT — queue may not drain'})")
+    if not (1.7 <= ratio <= 2.3):
+        # Disagreement: report the marginal rate (extra frames / extra
+        # time), which cancels any constant per-measurement artifact.
+        fps = t * reps / max(dt2 - dt, 1e-9)
+        log(f"sync check: adopting marginal rate -> {fps:.2f} fps")
+
     # --- single-frame latency (the reference's real contract: an
     # interactive per-frame post-effect, `OnRenderImage`,
     # `MotionMagnificationProcessor.cs:101`).  Batch=1 chunks threaded

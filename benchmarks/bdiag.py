@@ -1,0 +1,132 @@
+"""Diagnose the batched chunk engine: time each sub-stage of
+`engine.video._chunk_batched` at T=16 1080p on hardware, vs the same work
+issued per-frame.  Usage: python benchmarks/bdiag.py [names...]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pbmm_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+sys.path.insert(0, ".")
+
+from pbmm_tpu.config import MagnifyConfig
+from pbmm_tpu.core.window import geometry_for
+from pbmm_tpu.engine.pipeline import blur_row_window, posttail, preprocess
+from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
+
+
+def _sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+
+
+def timed(fn, args, ks=(4, 24)):
+    """Per-iteration device seconds via the fori_loop slope."""
+    def make(k):
+        @jax.jit
+        def run(*a):
+            def body(_, carry):
+                out = fn(a[0] + carry * 1e-30, *a[1:])
+                leaves = jax.tree_util.tree_leaves(out)
+                return carry + sum(l.ravel().astype(jnp.float32)[0]
+                                   for l in leaves)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return run
+
+    walls = []
+    for k in ks:
+        run = make(k)
+        _sync(run(*args))
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            _sync(run(*args))
+            best = min(best, time.perf_counter() - t0)
+        walls.append(best)
+    return float(np.polyfit(ks, walls, 1)[0])
+
+
+def main():
+    which = set(sys.argv[1:])
+    t, h, w = 16, 1080, 1920
+    cfg = MagnifyConfig().tuned_for_tpu()
+    geom = geometry_for(h, w, cfg.pad_mode)
+    rows = blur_row_window(geom, cfg)
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(rng.random((t, h, w, 3)).astype(np.float32))
+
+    pre = jax.jit(lambda f: preprocess(f, cfg))
+    specs, yiqs = pre(frames)
+    sre = jax.device_put(np.asarray(jnp.real(specs)))
+    sim = jax.device_put(np.asarray(jnp.imag(specs)))
+    c = specs.shape[1]
+
+    full_re = jax.device_put(np.concatenate(
+        [np.asarray(sre[:1]), np.asarray(sre)], axis=0
+    ).reshape(-1, *sre.shape[-2:]))
+    full_im = jax.device_put(np.asarray(jnp.concatenate(
+        [sim[:1], sim], axis=0)).reshape(-1, *sim.shape[-2:]))
+
+    def phase_paired(a, b):
+        return phase_col_ifft(a, b, None, None, cfg, out_rows=rows,
+                              full_w=geom.pad_w, pair_offset=c)
+
+    rre, rim = phase_paired(full_re, full_im)
+
+    def phase_sep(a, b, pa, pb):
+        return phase_col_ifft(a, b, pa, pb, cfg, out_rows=rows,
+                              full_w=geom.pad_w)
+
+    flat_re = jax.device_put(np.asarray(sre).reshape(-1, *sre.shape[-2:]))
+    flat_im = jax.device_put(np.asarray(sim).reshape(-1, *sim.shape[-2:]))
+
+    def rowifft(a, b):
+        return row_ifft_magnitude(a, b, magnitude=True, pad_h=geom.pad_h,
+                                  full_w=geom.pad_w)
+
+    rec = rowifft(rre, rim)
+    chans = jax.device_put(np.asarray(rec).reshape(
+        t, c, rows[1] - rows[0], geom.pad_w))
+
+    def post(ch, yq):
+        return posttail(ch, yq, cfg, row0=rows[0])
+
+    def concat_split(s):
+        fr = jnp.concatenate([jnp.real(s[:1]), jnp.real(s)], axis=0)
+        fi = jnp.concatenate([jnp.imag(s[:1]), jnp.imag(s)], axis=0)
+        return fr.reshape(-1, *fr.shape[-2:]), fi.reshape(-1, *fi.shape[-2:])
+
+    exps = {
+        # batched stages (whole 16-frame chunk per call)
+        "pre16": (pre, (frames,)),
+        "phase_paired17": (phase_paired, (full_re, full_im)),
+        "phase_sep16": (phase_sep, (flat_re, flat_im,
+                                    full_re[:-c], full_im[:-c])),
+        "rowifft16": (rowifft, (rre, rim)),
+        "post16": (jax.jit(post), (chans, yiqs)),
+        "concat_split": (jax.jit(concat_split), (specs,)),
+        # single-frame versions for comparison (x16 to compare)
+        "pre1": (pre, (frames[:1],)),
+        "post1": (jax.jit(post), (chans[:1], yiqs[:1])),
+    }
+
+    for name, (fn, args) in exps.items():
+        if which and name not in which:
+            continue
+        sec = timed(fn, args)
+        per_frame = sec / (t if name.endswith("16") or "17" in name
+                           or name == "concat_split" else 1)
+        print(f"{name:16s} {sec*1e3:8.3f} ms total  {per_frame*1e3:7.3f} "
+              f"ms/frame", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,41 @@ def main():
         lambda a, b: row_ifft_magnitude(a, b, magnitude=True, pad_h=hp),
         (rre_f, rim_f))
 
+    # --- pure-copy probes: identical grid/block structure to the FFT
+    # kernels but zero compute — the achievable pipelined-DMA ceiling for
+    # each access pattern.  If copy >> fft, the kernels are compute- or
+    # overlap-bound; if copy ~ fft, the block pipeline itself is the wall.
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def copy_kernel(a_ref, b_ref, oa, ob):
+        oa[0] = a_ref[0]
+        ob[0] = b_ref[0]
+
+    def make_copy(shape, block, index):
+        spec = pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
+        grid = (shape[0],
+                pl.cdiv(shape[1], block[1]) * pl.cdiv(shape[2], block[2]))
+        return partial(
+            pl.pallas_call(
+                copy_kernel, grid=grid,
+                in_specs=[spec, spec], out_specs=(spec, spec),
+                out_shape=(jax.ShapeDtypeStruct(shape, jnp.float32),) * 2,
+            ))
+
+    rb = int(os.environ.get("PBMM_ROW_BLOCK", "64"))
+    lb = int(os.environ.get("PBMM_LANE_BLOCK", "128"))
+    cr = jax.device_put(rng.random((1, hp, wp)).astype(np.float32))
+    ci = jax.device_put(rng.random((1, hp, wp)).astype(np.float32))
+    exps["copy_rowblocks"] = (
+        make_copy((1, hp, wp), (1, rb, wp), lambda i, j: (i, j, 0)),
+        (cr, ci))
+    exps["copy_laneblocks"] = (
+        make_copy((1, hp, wp), (1, hp, lb), lambda i, j: (i, 0, j)),
+        (cr, ci))
+
     for name, (fn, args) in exps.items():
         if which and name not in which:
             continue

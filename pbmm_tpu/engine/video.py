@@ -110,8 +110,78 @@ def video_step(
     return new_state, out
 
 
+def _batched_ok(cfg: MagnifyConfig, frame_shape) -> bool:
+    """Whether the scan-free batched chunk engine serves this config: the
+    fused spectral path in two-frame mode with the previous spectrum
+    cached.  (The IIR temporal carry is sequential -> scan; the no-cache
+    parity mode re-FFTs the previous frame -> scan.)"""
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import hermitian_active
+    from pbmm_tpu.spectral.hermitian import hermitian_kept_width
+
+    if not (cfg.cache_prev_spectrum and cfg.temporal.mode == "two_frame"):
+        return False
+    geom = geometry_for(frame_shape[-3], frame_shape[-2], cfg.pad_mode)
+    wk = (hermitian_kept_width(geom.pad_w)
+          if hermitian_active(cfg, geom) else geom.pad_w)
+    return fused_reconstruct_ok(cfg, (geom.pad_h, wk))
+
+
+def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
+    """Whole-chunk processing with NO per-frame scan: every frame's FFT
+    runs in one batched dispatch, and the phase/col-IFFT kernel reads the
+    frame-pair stream through shifted index maps over ONE array
+    (`phase_col_ifft(pair_offset=...)`) — the previous frame's spectrum is
+    just the preceding planes.  Removes the scan glue the per-frame
+    carry costs (frame unstack, output stack, carried-spectrum copies,
+    ~0.15 ms/frame at 1080p) while computing the identical math."""
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import blur_row_window
+    from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
+
+    specs, yiqs = preprocess(frames, cfg)  # (T, C, Hp, Wk), (T, 3, H, W)
+    t, c = specs.shape[0], specs.shape[1]
+    geom = geometry_for(frames.shape[-3], frames.shape[-2], cfg.pad_mode)
+    rows = blur_row_window(geom, cfg)
+    full_re = jnp.concatenate(
+        [state.prev_spec_re[None], jnp.real(specs)], axis=0)
+    full_im = jnp.concatenate(
+        [state.prev_spec_im[None], jnp.imag(specs)], axis=0)
+    flat_re = full_re.reshape((-1,) + full_re.shape[-2:])
+    flat_im = full_im.reshape((-1,) + full_im.shape[-2:])
+    with jax.named_scope("pbmm.phase_ifft_fused"):
+        rre, rim = phase_col_ifft(
+            flat_re, flat_im, None, None, cfg, out_rows=rows,
+            full_w=geom.pad_w, pair_offset=c,
+            interpret=cfg.interpret_pallas,
+        )
+        rec = row_ifft_magnitude(
+            rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
+            pad_h=geom.pad_h, full_w=geom.pad_w,
+            interpret=cfg.interpret_pallas,
+        )
+    chans = rec.reshape((t, c, rows[1] - rows[0], geom.pad_w))
+    outs = jnp.moveaxis(posttail(chans, yiqs, cfg, row0=rows[0]), -3, -1)
+    new_state = VideoState(
+        jnp.real(specs[-1]), jnp.imag(specs[-1]), state.prev_frame,
+        state.temporal, state.frame_idx + jnp.int32(t),
+    )
+    return outs, new_state
+
+
+import os as _os
+
+# The scan-free batched engine: measured on v5e it wins at batch=1 latency
+# (1.27 -> 1.04 ms) but XLA schedules the batched channels-first pre/post
+# stages poorly at T=16 (0.26 + 0.40 ms/frame vs ~0.17 in the scan), so it
+# is opt-in while the channels-last pre/post lands.
+_SCANFREE = _os.environ.get("PBMM_SCANFREE", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
+    if _SCANFREE and frames.shape[0] > 0 and _batched_ok(cfg, frames.shape):
+        return _chunk_batched(frames, state, cfg)
     final_state, outs = jax.lax.scan(
         lambda s, f: video_step(s, f, cfg), state, frames
     )

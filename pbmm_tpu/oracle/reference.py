@@ -100,6 +100,46 @@ def pyramid_masks(ph, pw, levels, min_f, max_f):
     return out
 
 
+def steerable_mask_planes(ph, pw, levels, min_f, max_f, orientations):
+    """fp64 mask planes + amplified flags for the steerable angular
+    extension (green-field vs the reference, whose bank is radial only —
+    `PyramidOperations.compute:25-87`; spec: mid radial bands split into K
+    partition-of-unity angular sectors cos^(2(K-1))(theta - pi k/K),
+    normalized across sectors so the K sector masks of a band sum back to
+    the radial band exactly; high/low pass stay radial and unamplified).
+
+    Written independently of `pyramid.filters._steerable_bank_np` (direct
+    per-plane formulas, no shared code) so end-to-end agreement pins the
+    production bank's *values*, not just its partition-of-unity algebra.
+
+    Returns (planes (n, ph, pw) float64, amplified (n,) bool).
+    """
+    radial = pyramid_masks(ph, pw, levels, min_f, max_f)
+    if orientations <= 1 or levels < 3:
+        flags = np.zeros(levels, bool)
+        flags[1:-1] = levels >= 3
+        return radial, flags
+    fy = np.arange(ph)[:, None] / ph - 0.5
+    fx = np.arange(pw)[None, :] / pw - 0.5
+    theta = np.arctan2(fy + 0.0 * fx, fx + 0.0 * fy)
+    p = 2 * (orientations - 1)
+    sect = np.stack([
+        np.abs(np.cos(theta - np.pi * k / orientations)) ** p
+        for k in range(orientations)
+    ])
+    denom = sect.sum(axis=0)
+    sect /= np.where(denom == 0.0, 1.0, denom)
+    planes = [radial[0]]
+    flags = [False]
+    for i in range(1, levels - 1):
+        for k in range(orientations):
+            planes.append(radial[i] * sect[k])
+            flags.append(True)
+    planes.append(radial[-1])
+    flags.append(False)
+    return np.stack(planes), np.asarray(flags, bool)
+
+
 def standard_weight(ph, pw, cfg):
     """`calculate_spatial_frequency` + `calculate_bandpass_weight`
     (`PhaseDifferenceComputeShader.compute:74-122`)."""
@@ -170,13 +210,20 @@ def _amplify(cur, prev, cfg, ph, pw, delta_override=None):
     tau = cfg.magnitude_threshold
     scale = cfg.phase_scale
     if cfg.mode == "pyramid":
-        masks = pyramid_masks(ph, pw, cfg.pyramid_levels,
-                              cfg.min_frequency, cfg.max_frequency)
+        if getattr(cfg, "orientations", 0) > 1 and cfg.pyramid_levels >= 3:
+            masks, flags = steerable_mask_planes(
+                ph, pw, cfg.pyramid_levels, cfg.min_frequency,
+                cfg.max_frequency, cfg.orientations)
+        else:
+            masks = pyramid_masks(ph, pw, cfg.pyramid_levels,
+                                  cfg.min_frequency, cfg.max_frequency)
+            flags = np.zeros(len(masks), bool)
+            flags[1:-1] = len(masks) >= 3
         acc = np.zeros_like(cur)
-        for i in range(cfg.pyramid_levels):
+        for i in range(len(masks)):
             ci = cur * masks[i]
             pi = prev * masks[i]
-            if i == 0 or i == cfg.pyramid_levels - 1:
+            if not flags[i]:
                 acc += ci  # skip-ends (`PyramidPhaseDifference.compute:73-77`)
                 continue
             gate = (np.abs(ci) < tau) | (np.abs(pi) < tau)

@@ -196,6 +196,9 @@ def _cmul_dots(dot, xr, xi, gr, gi):
     return t1 - t2, t3 - t1 - t2
 
 
+_GM_AXIS1 = _os.environ.get("PBMM_GM_AXIS1", "slices")
+
+
 def _apply_intra_group(re, im, gr, gi, axis: int):
     """Multiply each aligned 128-group along `axis` by the complex matrix
     A = gr + i*gi (out = A @ v per group) — one MXU pass replacing the 7
@@ -213,6 +216,24 @@ def _apply_intra_group(re, im, gr, gi, axis: int):
     d1 = (lambda a, b: _b3_dot(dot, a, b)) if _GM_MODE == "b3" else dot
     if axis == 1:
         r, n = re.shape
+        if _GM_AXIS1 == "slices" and n > 128:
+            # Aligned 128-lane slices are tile-local views; the reshape
+            # form below relayouts the whole block twice ((r, n) <->
+            # (r*n/128, 128) moves every element across tiles).  Measured
+            # on v5e: the slice form cut the row-IFFT kernel ~15%.
+            outs_r, outs_i = [], []
+            for g in range(n // 128):
+                sl = slice(g * 128, (g + 1) * 128)
+                xr = re[:, sl]
+                xi = None if im is None else im[:, sl]
+                if xi is None:
+                    yr, yi = d1(xr, gr), d1(xr, gi)
+                else:
+                    yr, yi = _cmul_dots(dot, xr, xi, gr, gi)
+                outs_r.append(yr)
+                outs_i.append(yi)
+            return (jnp.concatenate(outs_r, axis=1),
+                    jnp.concatenate(outs_i, axis=1))
         xr = re.reshape(r * (n // 128), 128)
         xi = None if im is None else im.reshape(r * (n // 128), 128)
         # out[..., m] = sum_k x[..., k] * A[m, k]
@@ -304,12 +325,12 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im,
         else:
             tw_r = tw_re[row][None, :]
             tw_i = tw_im[row][None, :]
-        u_re = _roll(re, -d, axis)
-        u_im = _roll(im, -d, axis)
         v_re = _roll(re, d, axis)
         v_im = _roll(im, d, axis)
         if not inverse:
             # DIF: top = x + u ; bottom = (v - x) * tw
+            u_re = _roll(re, -d, axis)
+            u_im = _roll(im, -d, axis)
             b_re = v_re - re
             b_im = v_im - im
             bt_re = b_re * tw_r - b_im * tw_i
@@ -319,14 +340,19 @@ def _fft_stages(re, im, n: int, axis: int, inverse: bool, tw_re, tw_im,
                 jnp.where(top, im + u_im, bt_im),
             )
         else:
-            # DIT: top = x + u * tw ; bottom = v - x * tw
-            ut_re = u_re * tw_r - u_im * tw_i
-            ut_im = u_re * tw_i + u_im * tw_r
-            xt_re = re * tw_r - im * tw_i
-            xt_im = re * tw_i + im * tw_r
+            # DIT: top = x + u * tw ; bottom = v - x * tw.  One shared
+            # cmul z = x * tw serves both halves: the twiddle table value
+            # repeats across each butterfly pair (tw[r] == tw[r+d], both
+            # exp(+i pi (r mod d)/(2d))), so ut[r] = u[r]*tw[r] =
+            # x[r+d]*tw[r+d] = roll(z, -d)[r] — halving the twiddle
+            # multiplies per stage vs the two-cmul form.
+            z_re = re * tw_r - im * tw_i
+            z_im = re * tw_i + im * tw_r
+            uz_re = _roll(z_re, -d, axis)
+            uz_im = _roll(z_im, -d, axis)
             re, im = (
-                jnp.where(top, re + ut_re, v_re - xt_re),
-                jnp.where(top, im + ut_im, v_im - xt_im),
+                jnp.where(top, re + uz_re, v_re - z_re),
+                jnp.where(top, im + uz_im, v_im - z_im),
             )
     if gm is not None and n >= 128 and not inverse and apply_gm:
         # apply_gm=False: the caller applies the (tile-local) intra-group

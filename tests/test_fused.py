@@ -238,6 +238,34 @@ class TestHermitianHalf:
         np.testing.assert_allclose(resumed, np.asarray(whole), atol=1e-5)
 
 
+def test_batched_chunk_engine_matches_per_frame_scan():
+    """The scan-free batched chunk engine (r3: `engine.video._chunk_batched`,
+    pair_offset index maps) against a literal per-frame `video_step` loop —
+    identical math, no scan glue."""
+    from pbmm_tpu.engine.video import (
+        _batched_ok,
+        magnify_video,
+        video_init,
+        video_step,
+    )
+
+    frames = oscillating_bar(size=280, frames=5, bar_width=4)
+    cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
+                        use_fused_spectral=True, use_hermitian_spectral=True,
+                        interpret_pallas=True)
+    assert _batched_ok(cfg, frames.shape[1:])
+    got, _ = magnify_video(frames, cfg)
+
+    state = video_init(frames[0], cfg)
+    outs = [np.asarray(frames[0], np.float32)]
+    for t in range(1, len(frames)):
+        state, out = video_step(state, jnp.asarray(frames[t]), cfg)
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(
+        np.asarray(got), np.stack(outs), atol=2e-5,
+        err_msg="batched chunk engine diverged from the per-frame scan")
+
+
 def test_row_windowed_parity_nonsquare(rng):
     """A frame whose padded geometry activates real row windowing
     (150x500 -> 512x512 pad, content cover rows [128, 384)): the

@@ -46,6 +46,17 @@ class TestPairParity:
     def test_high_scale(self):
         assert _pair_psnr(MagnifyConfig(phase_scale=25.0)) > 50.0
 
+    def test_steerable_orientations_vs_oracle(self):
+        # The steerable angular extension against its independent fp64
+        # oracle (`oracle.reference.steerable_mask_planes` — direct
+        # formulas, no shared code): pins the production bank's VALUES
+        # end-to-end, not just its partition-of-unity algebra.
+        assert _pair_psnr(MagnifyConfig(orientations=4)) > 55.0
+
+    def test_steerable_many_orientations_vs_oracle(self):
+        assert _pair_psnr(
+            MagnifyConfig(orientations=8, pyramid_levels=4)) > 55.0
+
     def test_rect_padding(self):
         frames = oscillating_bar(size=96, frames=4)  # pads 96->128 square
         cfg = MagnifyConfig(pad_mode="rect_pow2")
