@@ -104,7 +104,81 @@ def main():
         fi = jnp.concatenate([jnp.imag(s[:1]), jnp.imag(s)], axis=0)
         return fr.reshape(-1, *fr.shape[-2:]), fi.reshape(-1, *fi.shape[-2:])
 
+    # --- channels-last pre/post candidates (no big transposes) ---
+    from pbmm_tpu.core.color import RGB_TO_YIQ, YIQ_TO_RGB
+    from pbmm_tpu.core.window import blur_then_crop, hann2d_region
+    from pbmm_tpu.core.window import Geometry
+    from pbmm_tpu.spectral.fused import aligned_row_window
+
+    r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
+
+    def pre_cl(fr):
+        m = RGB_TO_YIQ
+        y = (fr[..., 0] * float(m[0, 0]) + fr[..., 1] * float(m[0, 1])
+             + fr[..., 2] * float(m[0, 2]))
+        iq = jnp.stack(
+            [fr[..., 0] * float(m[d, 0]) + fr[..., 1] * float(m[d, 1])
+             + fr[..., 2] * float(m[d, 2]) for d in (1, 2)], axis=-1)
+        slab = jnp.pad(y, [(0, 0),
+                           (geom.y0 - r0, r1 - geom.y0 - geom.in_h),
+                           (geom.x0, geom.pad_w - geom.in_w - geom.x0)])
+        return slab, iq
+
+    slab_cl, iq_cl = jax.jit(pre_cl)(frames)
+
+    def post_cl(ch, iq):
+        geom_rows = Geometry(geom.in_h, geom.in_w, ch.shape[-2],
+                             geom.pad_w, geom.y0 - rows[0], geom.x0)
+        y = blur_then_crop(ch, geom_rows, cfg.blur_size)
+        win = hann2d_region(geom)
+        m = YIQ_TO_RGB
+        i_w = iq[..., 0] * win
+        q_w = iq[..., 1] * win
+        rgb = jnp.stack(
+            [y * float(m[d, 0]) + i_w * float(m[d, 1]) + q_w * float(m[d, 2])
+             for d in range(3)], axis=-1)
+        return jnp.clip(rgb, 0.0, 1.0)
+
+    chans_cl = jax.device_put(np.asarray(rec).reshape(
+        t, rows[1] - rows[0], geom.pad_w))
+
+    from pbmm_tpu.core.window import blur_taps
+
+    taps = np.asarray(blur_taps(cfg.blur_size), np.float32)
+    radius = (len(taps) - 1) // 2
+
+    def blur_taps_xla(ch):
+        geom_rows = Geometry(geom.in_h, geom.in_w, ch.shape[-2],
+                             geom.pad_w, geom.y0 - rows[0], geom.x0)
+        return blur_then_crop(ch, geom_rows, cfg.blur_size)
+
+    def blur_conv(ch):
+        # Separable 9-tap via the TPU conv emitter (reuse-aware), then crop.
+        x = ch[:, None]  # NCHW
+        kv = jnp.asarray(taps).reshape(1, 1, -1, 1)
+        kh = jnp.asarray(taps).reshape(1, 1, 1, -1)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kv.shape,
+                                            ("NCHW", "OIHW", "NCHW"))
+        y = jax.lax.conv_general_dilated(x, kv, (1, 1),
+                                         [(radius, radius), (0, 0)], (1, 1),
+                                         (1, 1), dn)
+        y = jax.lax.conv_general_dilated(y, kh, (1, 1),
+                                         [(0, 0), (radius, radius)], (1, 1),
+                                         (1, 1), dn)
+        y0r = geom.y0 - rows[0]
+        return y[:, 0, y0r:y0r + geom.in_h, geom.x0:geom.x0 + geom.in_w]
+
+    def stack3(y):
+        return jnp.stack([y, y + 1.0, y + 2.0], axis=-1)
+
+    y_cl = jax.device_put(rng.random((t, h, w)).astype(np.float32))
+
     exps = {
+        "pre_cl16": (jax.jit(pre_cl), (frames,)),
+        "post_cl16": (jax.jit(post_cl), (chans_cl, iq_cl)),
+        "blur16_taps": (jax.jit(blur_taps_xla), (chans_cl,)),
+        "blur16_conv": (jax.jit(blur_conv), (chans_cl,)),
+        "stack3": (jax.jit(stack3), (y_cl,)),
         # batched stages (whole 16-frame chunk per call)
         "pre16": (pre, (frames,)),
         "phase_paired17": (phase_paired, (full_re, full_im)),

@@ -157,6 +157,53 @@ def preprocess(
         return spec, yiq
 
 
+def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig):
+    """Channels-last preprocess for the batched chunk engine (y_only):
+    (T, H, W, 3) RGB -> (re, im (T, Hp, Wk) row+col FFT of the windowed Y
+    slab, I plane, Q plane (T, H, W)).
+
+    Same math as `preprocess` but with NO (T,H,W,3) -> (T,3,H,W)
+    transpose: Y is a minor-dim FMA (`RGBToYIQ.shader:46-50` row 0)
+    fused into the pad, and the original I/Q ride as channels-last
+    planes for the post stage (measured: XLA schedules the batched
+    channels-first transpose at ~0.26 ms/frame vs ~0.04 for this form).
+    Requires cfg.fft_backend == "pallas" and cfg.chroma != "rgb"."""
+    from pbmm_tpu.core.color import RGB_TO_YIQ
+    from pbmm_tpu.spectral.fused import (
+        aligned_row_window,
+        col_fft_zero_padded,
+        windowed_row_fft,
+    )
+
+    assert cfg.fft_backend == "pallas" and cfg.chroma != "rgb"
+    geom = geometry_for(frames.shape[-3], frames.shape[-2], cfg.pad_mode)
+    keep = hermitian_active(cfg, geom)
+    r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
+    with jax.named_scope("pbmm.preprocess"):
+        f = frames.astype(jnp.float32)
+        m = RGB_TO_YIQ
+        planes = [
+            f[..., 0] * float(m[d, 0]) + f[..., 1] * float(m[d, 1])
+            + f[..., 2] * float(m[d, 2])
+            for d in range(3)
+        ]
+        y, i_plane, q_plane = planes
+        slab = jnp.pad(y, [(0, 0)] * (y.ndim - 2) + [
+            (geom.y0 - r0, r1 - geom.y0 - geom.in_h),
+            (geom.x0, geom.pad_w - geom.in_w - geom.x0),
+        ])
+        with jax.named_scope("pbmm.fft"):
+            re, im = windowed_row_fft(
+                slab, pad_h=geom.pad_h, row0=r0, keep_half=keep,
+                interpret=cfg.interpret_pallas,
+            )
+            re, im = col_fft_zero_padded(
+                re, im, pad_h=geom.pad_h, row0=r0,
+                interpret=cfg.interpret_pallas,
+            )
+    return re, im, i_plane, q_plane
+
+
 def amplify_spectrum(
     cur_spec: jnp.ndarray,
     prev_spec: jnp.ndarray,

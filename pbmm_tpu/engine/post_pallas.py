@@ -1,0 +1,176 @@
+"""Fused Pallas post-stage: blur -> chroma combine -> YIQ->RGB -> crop.
+
+The XLA form of the post tail (`engine.pipeline.posttail`) is correct but
+re-reads its input once per blur tap when fused (the 9-tap separable
+Gaussian amplifies reads ~9x; measured 0.22 ms/frame of blur alone at
+1080p/T=16 vs a 0.033 ms byte floor, and the TPU conv emitter is no
+better).  This kernel computes the identical math in one pass over VMEM
+blocks:
+
+  reconstruction rows (region layout)  --H blur--> --V blur--> crop
+  + windowed original I/Q (channels-last planes) -> YIQ->RGB -> clip
+  -> three (T, H, W) R/G/B planes (the caller stacks minor-3 once).
+
+Reference chain: ApplyAntiAliasing -> CombineYIQChannels -> YIQToRGB ->
+CropTexture (`MotionMagnificationProcessor.cs:196-205`), with the blur
+math of `GaussianBlur.shader:52-57` via the derived discrete taps
+(`core.window.blur_taps`) and the H-then-V pass order (`:427-431`).
+
+Halo scheme: output rows split into `ob`-row blocks; each grid step reads
+TWO consecutive `ib`-row input blocks of the reconstruction region (the
+same array passed twice with index maps k and k+1, k = (ob*j + yoff - r)
+// ib) and dynamic-slices the (ob + 2r)-row vertical window from their
+concatenation.  Horizontal taps ride `pltpu.roll` across the full padded
+width; the crop's column offset is a lane roll + aligned slice.
+`post_pallas_ok` verifies every constraint numerically at trace time;
+ineligible geometries fall back to the XLA posttail.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pbmm_tpu.core.color import YIQ_TO_RGB
+from pbmm_tpu.core.window import Geometry, blur_taps, geometry_for
+
+
+def _radius(cfg) -> int:
+    return (len(blur_taps(cfg.blur_size)) - 1) // 2
+
+
+def _out_block(h: int) -> int:
+    """Largest 8-multiple divisor of h that is <= 192 (pipeline-friendly
+    block height); 0 if none exists."""
+    best = 0
+    for ob in range(8, 193, 8):
+        if h % ob == 0:
+            best = ob
+    return best
+
+
+def post_pallas_ok(geom: Geometry, cfg, rows0: int, region_h: int) -> bool:
+    """Whether this geometry/config is served by the fused post kernel."""
+    r = _radius(cfg)
+    if cfg.chroma == "rgb":
+        return False
+    # Full blur halo inside the padded frame on every side (so the
+    # edge-replicate fallback of `blur_then_crop` is never consulted).
+    if not (geom.y0 >= r and geom.x0 >= r
+            and geom.pad_h - geom.y0 - geom.in_h >= r
+            and geom.pad_w - geom.x0 - geom.in_w >= r):
+        return False
+    if geom.in_w % 128 != 0 or geom.pad_w % 128 != 0:
+        return False
+    ob = _out_block(geom.in_h)
+    if not ob:
+        return False
+    yoff = geom.y0 - rows0 - r  # region row of the first V-tap
+    if yoff < 0:
+        return False
+    # Input blocks are ALSO ob rows (ragged tail allowed: Pallas pads) so
+    # the in-block slice offset yoff - e is STATIC (Mosaic has no dynamic
+    # sublane slice).  The window must fit in two consecutive blocks and
+    # never read past the real region rows.
+    e = yoff % 8  # static sub-8 remainder folded into the tap offsets
+    s = yoff - e  # 8-aligned static slice base within block j
+    wve = -(-(ob + 2 * r + e) // 8) * 8
+    if s + wve > 2 * ob:
+        return False
+    last_need = ob * (geom.in_h // ob - 1) + s + wve
+    return last_need <= region_h
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rows0", "in_h", "in_w",
+                                             "pad_mode", "interpret"))
+def post_fused(chans, i_plane, q_plane, win, cfg, rows0: int,
+               in_h: int, in_w: int, pad_mode: str,
+               interpret: bool = False):
+    """(T, Hr, Wp) reconstruction rows + (T, H, W) original I/Q planes +
+    (H, W) crop-region Hann -> three (T, H, W) R, G, B planes.
+
+    Exact math of `posttail` (blur_then_crop -> windowed-chroma combine ->
+    optional window compensation / YIQ gains -> YIQ->RGB saturate) in one
+    Pallas pass; callers must have checked `post_pallas_ok`.
+    """
+    t, hr, wp = chans.shape
+    geom = geometry_for(in_h, in_w, pad_mode)
+    r = _radius(cfg)
+    taps = [float(v) for v in blur_taps(cfg.blur_size)]
+    ob = _out_block(in_h)
+    yoff = geom.y0 - rows0 - r
+    ib = ob  # input blocks match output blocks -> static slice offset
+    e = yoff % 8  # static: ob % 8 == 0 keeps it constant across blocks
+    wv = -(-(ob + 2 * r + e) // 8) * 8
+    x0 = geom.x0
+    m = YIQ_TO_RGB
+    gains = (tuple(float(g) for g in cfg.yiq_gains)
+             if cfg.apply_yiq_gains else (1.0, 1.0, 1.0))
+    comp = bool(cfg.compensate_window)
+
+    grid = (t, in_h // ob)
+
+    ch_a = pl.BlockSpec((1, ib, wp), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    nb = -(-hr // ib)  # ragged tail block is zero-padded by Pallas
+    ch_b = pl.BlockSpec(
+        (1, ib, wp),
+        lambda i, j: (i, jnp.minimum(j + 1, nb - 1), 0),
+        memory_space=pltpu.VMEM)
+    iq_spec = pl.BlockSpec((1, ob, in_w), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    win_spec = pl.BlockSpec((ob, in_w), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ob, in_w), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(ca_ref, cb_ref, i_ref, q_ref, w_ref, r_ref, g_ref, b_ref):
+        two = jnp.concatenate([ca_ref[0], cb_ref[0]], axis=0)  # (2*ib, wp)
+        w128 = two[yoff - e:yoff - e + wv]  # static 8-aligned slice
+        # Horizontal taps via lane rolls (wrap-around touches only the
+        # pad border columns, > r outside the crop).
+        hb = w128 * taps[r]
+        for k2 in range(1, r + 1):
+            hb = hb + (pltpu.roll(w128, k2, 1) * taps[r - k2]
+                       + pltpu.roll(w128, wp - k2, 1) * taps[r + k2])
+        # Vertical taps: static sublane slices of the window (e = sub-8
+        # alignment remainder of the slice base).
+        vb = hb[e:e + ob] * taps[0]
+        for k2 in range(1, 2 * r + 1):
+            vb = vb + hb[e + k2:e + k2 + ob] * taps[k2]
+        # Column crop: lane roll to the crop origin, then aligned slice.
+        y = pltpu.roll(vb, wp - x0, 1)[:, :in_w]
+
+        wn = w_ref[...]
+        iw = i_ref[0] * wn
+        qw = q_ref[0] * wn
+        if comp:
+            inv = 1.0 / jnp.maximum(wn, 1e-3)
+            y = y * inv
+            iw = iw * inv
+            qw = qw * inv
+        y = y * jnp.float32(gains[0])
+        iw = iw * jnp.float32(gains[1])
+        qw = qw * jnp.float32(gains[2])
+        for d, o_ref in enumerate((r_ref, g_ref, b_ref)):
+            o_ref[0] = jnp.clip(
+                y * float(m[d, 0]) + iw * float(m[d, 1])
+                + qw * float(m[d, 2]), 0.0, 1.0)
+
+    out_shape = jax.ShapeDtypeStruct((t, in_h, in_w), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ch_a, ch_b, iq_spec, iq_spec, win_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(chans, chans, i_plane, q_plane, win)

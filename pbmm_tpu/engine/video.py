@@ -134,21 +134,35 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
     (`phase_col_ifft(pair_offset=...)`) — the previous frame's spectrum is
     just the preceding planes.  Removes the scan glue the per-frame
     carry costs (frame unstack, output stack, carried-spectrum copies,
-    ~0.15 ms/frame at 1080p) while computing the identical math."""
-    from pbmm_tpu.core.window import geometry_for
-    from pbmm_tpu.engine.pipeline import blur_row_window
+    ~0.15 ms/frame at 1080p) while computing the identical math.
+
+    For y_only chroma the pre/post stages run transpose-free: channels-
+    last Y/I/Q extraction (`preprocess_cl`) and the fused Pallas post
+    kernel (`engine.post_pallas`) when the geometry qualifies."""
+    from pbmm_tpu.core.window import geometry_for, hann2d_region
+    from pbmm_tpu.engine.pipeline import blur_row_window, preprocess_cl
+    from pbmm_tpu.engine.post_pallas import post_fused, post_pallas_ok
     from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
 
-    specs, yiqs = preprocess(frames, cfg)  # (T, C, Hp, Wk), (T, 3, H, W)
-    t, c = specs.shape[0], specs.shape[1]
-    geom = geometry_for(frames.shape[-3], frames.shape[-2], cfg.pad_mode)
+    t = frames.shape[0]
+    h, w = frames.shape[-3], frames.shape[-2]
+    geom = geometry_for(h, w, cfg.pad_mode)
     rows = blur_row_window(geom, cfg)
-    full_re = jnp.concatenate(
-        [state.prev_spec_re[None], jnp.real(specs)], axis=0)
-    full_im = jnp.concatenate(
-        [state.prev_spec_im[None], jnp.imag(specs)], axis=0)
-    flat_re = full_re.reshape((-1,) + full_re.shape[-2:])
-    flat_im = full_im.reshape((-1,) + full_im.shape[-2:])
+    cl = cfg.chroma != "rgb"
+    if cl:
+        sre, sim, i_plane, q_plane = preprocess_cl(frames, cfg)
+        c = 1
+        flat_re = jnp.concatenate([state.prev_spec_re, sre], axis=0)
+        flat_im = jnp.concatenate([state.prev_spec_im, sim], axis=0)
+    else:
+        specs, yiqs = preprocess(frames, cfg)  # (T, C, Hp, Wk), (T,3,H,W)
+        c = specs.shape[1]
+        full_re = jnp.concatenate(
+            [state.prev_spec_re[None], jnp.real(specs)], axis=0)
+        full_im = jnp.concatenate(
+            [state.prev_spec_im[None], jnp.imag(specs)], axis=0)
+        flat_re = full_re.reshape((-1,) + full_re.shape[-2:])
+        flat_im = full_im.reshape((-1,) + full_im.shape[-2:])
     with jax.named_scope("pbmm.phase_ifft_fused"):
         rre, rim = phase_col_ifft(
             flat_re, flat_im, None, None, cfg, out_rows=rows,
@@ -160,32 +174,59 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
             pad_h=geom.pad_h, full_w=geom.pad_w,
             interpret=cfg.interpret_pallas,
         )
-    chans = rec.reshape((t, c, rows[1] - rows[0], geom.pad_w))
-    outs = jnp.moveaxis(posttail(chans, yiqs, cfg, row0=rows[0]), -3, -1)
-    new_state = VideoState(
-        jnp.real(specs[-1]), jnp.imag(specs[-1]), state.prev_frame,
-        state.temporal, state.frame_idx + jnp.int32(t),
-    )
+    hr = rows[1] - rows[0]
+    if cl:
+        if post_pallas_ok(geom, cfg, rows[0], hr):
+            win = hann2d_region(geom)
+            rp, gp, bp = post_fused(
+                rec, i_plane, q_plane, win, cfg, rows[0], h, w,
+                cfg.pad_mode, interpret=cfg.interpret_pallas,
+            )
+            outs = jnp.stack([rp, gp, bp], axis=-1)
+        else:
+            chans = rec.reshape((t, 1, hr, geom.pad_w))
+            yiq3 = jnp.stack([i_plane, i_plane, q_plane], axis=-3)
+            outs = jnp.moveaxis(
+                posttail(chans, yiq3, cfg, row0=rows[0]), -3, -1)
+        new_state = VideoState(
+            sre[-1:], sim[-1:], state.prev_frame,
+            state.temporal, state.frame_idx + jnp.int32(t),
+        )
+    else:
+        chans = rec.reshape((t, c, hr, geom.pad_w))
+        outs = jnp.moveaxis(posttail(chans, yiqs, cfg, row0=rows[0]), -3, -1)
+        new_state = VideoState(
+            jnp.real(specs[-1]), jnp.imag(specs[-1]), state.prev_frame,
+            state.temporal, state.frame_idx + jnp.int32(t),
+        )
     return outs, new_state
 
 
 import os as _os
 
-# The scan-free batched engine: measured on v5e it wins at batch=1 latency
-# (1.27 -> 1.04 ms) but XLA schedules the batched channels-first pre/post
-# stages poorly at T=16 (0.26 + 0.40 ms/frame vs ~0.17 in the scan), so it
-# is opt-in while the channels-last pre/post lands.
-_SCANFREE = _os.environ.get("PBMM_SCANFREE", "0") == "1"
+# The scan-free batched engine (default on): removes the per-frame scan
+# glue and runs transpose-free channels-last pre/post.  PBMM_SCANFREE=0
+# forces the lax.scan engine (identical math; used for A/B measurement).
+_SCANFREE = _os.environ.get("PBMM_SCANFREE", "1") == "1"
+
+
+_chunk_batched_jit = functools.partial(jax.jit, static_argnames=("cfg",))(
+    lambda frames, state, cfg: _chunk_batched(frames, state, cfg)
+)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
-    if _SCANFREE and frames.shape[0] > 0 and _batched_ok(cfg, frames.shape):
-        return _chunk_batched(frames, state, cfg)
+def _chunk_scan(frames, state: VideoState, cfg: MagnifyConfig):
     final_state, outs = jax.lax.scan(
         lambda s, f: video_step(s, f, cfg), state, frames
     )
     return outs, final_state
+
+
+def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
+    if _SCANFREE and frames.shape[0] > 0 and _batched_ok(cfg, frames.shape):
+        return _chunk_batched_jit(frames, state, cfg)
+    return _chunk_scan(frames, state, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

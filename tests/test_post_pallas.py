@@ -1,0 +1,63 @@
+"""Fused Pallas post kernel (blur -> combine -> YIQ->RGB -> crop) vs the
+XLA posttail, interpret mode on CPU — including the quirk switches."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pbmm_tpu.config import MagnifyConfig
+from pbmm_tpu.core.window import geometry_for, hann2d_region
+from pbmm_tpu.engine.pipeline import blur_row_window, posttail
+from pbmm_tpu.engine.post_pallas import post_fused, post_pallas_ok
+
+
+def _case(cfg, h=1080, w=1920, t=2, seed=0):
+    geom = geometry_for(h, w, cfg.pad_mode)
+    rows = blur_row_window(geom, cfg)
+    hr = rows[1] - rows[0]
+    assert post_pallas_ok(geom, cfg, rows[0], hr)
+    rng = np.random.default_rng(seed)
+    rec = rng.random((t, hr, geom.pad_w)).astype(np.float32)
+    ip = rng.random((t, h, w)).astype(np.float32)
+    qp = rng.random((t, h, w)).astype(np.float32)
+    win = hann2d_region(geom)
+
+    rp, gp, bp = post_fused(jnp.asarray(rec), jnp.asarray(ip),
+                            jnp.asarray(qp), win, cfg, rows[0], h, w,
+                            cfg.pad_mode, interpret=True)
+    got = np.stack([np.asarray(rp), np.asarray(gp), np.asarray(bp)],
+                   axis=-1)
+
+    yiq3 = jnp.stack([jnp.asarray(ip)] * 2 + [jnp.asarray(qp)], axis=-3)
+    want = np.moveaxis(np.asarray(posttail(
+        jnp.asarray(rec)[:, None], yiq3, cfg, row0=rows[0])), -3, -1)
+    return got, want
+
+
+def test_post_fused_matches_posttail_1080p():
+    got, want = _case(MagnifyConfig().tuned_for_tpu(), t=2)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_post_fused_compensate_window():
+    cfg = MagnifyConfig().tuned_for_tpu().replace(compensate_window=True)
+    got, want = _case(cfg, t=1, seed=1)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_post_fused_yiq_gains():
+    cfg = MagnifyConfig().tuned_for_tpu().replace(
+        apply_yiq_gains=True, yiq_gains=(0.9, 1.2, 0.8))
+    got, want = _case(cfg, t=1, seed=2)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_post_pallas_rejects_rgb_chroma_and_no_halo():
+    cfg = MagnifyConfig().tuned_for_tpu()
+    geom = geometry_for(1080, 1920, cfg.pad_mode)
+    rows = blur_row_window(geom, cfg)
+    assert not post_pallas_ok(geom, cfg.replace(chroma="rgb"), rows[0],
+                              rows[1] - rows[0])
+    # 256x256 input in a 256 pad: zero halo on every side.
+    g2 = geometry_for(256, 256, "square_pow2")
+    assert not post_pallas_ok(g2, cfg, 0, 256)
