@@ -95,12 +95,20 @@ def main():
         sync(out)
         dt2 = time.perf_counter() - t0
         ratio = dt2 / dt
+        ok = 1.5 <= ratio <= 2.5
         marg = max(dt2 - dt, 1e-9)
         log(f"trial {trial}: {dt:.3f}s/{reps} + {dt2:.3f}s/{2 * reps} "
             f"chunks; 2x-reps ratio {ratio:.2f} "
-            f"({'OK' if 1.5 <= ratio <= 2.5 else 'SUSPECT'}); "
+            f"({'OK' if ok else 'SUSPECT'}); "
             f"marginal {t * reps / marg:.1f} fps")
-        best = marg if best is None else min(best, marg)
+        # A SUSPECT trial failed its own dispatch-sync cross-check — it
+        # must never become the headline (advisor r3).
+        if ok:
+            best = marg if best is None else min(best, marg)
+    if best is None:
+        log("FATAL: all trials failed the 2x-reps cross-check; no "
+            "trustworthy measurement")
+        return
     fps = t * reps / best
     log(f"marginal steady rate (headline, best of 3): {fps:.2f} fps "
         f"({1e3 / fps:.3f} ms/frame)")

@@ -173,31 +173,32 @@ def main():
 
     y_cl = jax.device_put(rng.random((t, h, w)).astype(np.float32))
 
+    # Each entry carries its frame count EXPLICITLY (advisor r3: inferring
+    # it from the name suffix mis-scaled the whole-chunk experiments).
     exps = {
-        "pre_cl16": (jax.jit(pre_cl), (frames,)),
-        "post_cl16": (jax.jit(post_cl), (chans_cl, iq_cl)),
-        "blur16_taps": (jax.jit(blur_taps_xla), (chans_cl,)),
-        "blur16_conv": (jax.jit(blur_conv), (chans_cl,)),
-        "stack3": (jax.jit(stack3), (y_cl,)),
+        "pre_cl16": (jax.jit(pre_cl), (frames,), t),
+        "post_cl16": (jax.jit(post_cl), (chans_cl, iq_cl), t),
+        "blur16_taps": (jax.jit(blur_taps_xla), (chans_cl,), t),
+        "blur16_conv": (jax.jit(blur_conv), (chans_cl,), t),
+        "stack3": (jax.jit(stack3), (y_cl,), t),
         # batched stages (whole 16-frame chunk per call)
-        "pre16": (pre, (frames,)),
-        "phase_paired17": (phase_paired, (full_re, full_im)),
+        "pre16": (pre, (frames,), t),
+        "phase_paired17": (phase_paired, (full_re, full_im), t),
         "phase_sep16": (phase_sep, (flat_re, flat_im,
-                                    full_re[:-c], full_im[:-c])),
-        "rowifft16": (rowifft, (rre, rim)),
-        "post16": (jax.jit(post), (chans, yiqs)),
-        "concat_split": (jax.jit(concat_split), (specs,)),
+                                    full_re[:-c], full_im[:-c]), t),
+        "rowifft16": (rowifft, (rre, rim), t),
+        "post16": (jax.jit(post), (chans, yiqs), t),
+        "concat_split": (jax.jit(concat_split), (specs,), t),
         # single-frame versions for comparison (x16 to compare)
-        "pre1": (pre, (frames[:1],)),
-        "post1": (jax.jit(post), (chans[:1], yiqs[:1])),
+        "pre1": (pre, (frames[:1],), 1),
+        "post1": (jax.jit(post), (chans[:1], yiqs[:1]), 1),
     }
 
-    for name, (fn, args) in exps.items():
+    for name, (fn, args, nframes) in exps.items():
         if which and name not in which:
             continue
         sec = timed(fn, args)
-        per_frame = sec / (t if name.endswith("16") or "17" in name
-                           or name == "concat_split" else 1)
+        per_frame = sec / nframes
         print(f"{name:16s} {sec*1e3:8.3f} ms total  {per_frame*1e3:7.3f} "
               f"ms/frame", flush=True)
 

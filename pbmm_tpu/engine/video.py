@@ -148,21 +148,11 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
     h, w = frames.shape[-3], frames.shape[-2]
     geom = geometry_for(h, w, cfg.pad_mode)
     rows = blur_row_window(geom, cfg)
-    cl = cfg.chroma != "rgb"
-    if cl:
-        sre, sim, i_plane, q_plane = preprocess_cl(frames, cfg)
-        c = 1
-        flat_re = jnp.concatenate([state.prev_spec_re, sre], axis=0)
-        flat_im = jnp.concatenate([state.prev_spec_im, sim], axis=0)
-    else:
-        specs, yiqs = preprocess(frames, cfg)  # (T, C, Hp, Wk), (T,3,H,W)
-        c = specs.shape[1]
-        full_re = jnp.concatenate(
-            [state.prev_spec_re[None], jnp.real(specs)], axis=0)
-        full_im = jnp.concatenate(
-            [state.prev_spec_im[None], jnp.imag(specs)], axis=0)
-        flat_re = full_re.reshape((-1,) + full_re.shape[-2:])
-        flat_im = full_im.reshape((-1,) + full_im.shape[-2:])
+    rgb = cfg.chroma == "rgb"
+    c = 3 if rgb else 1
+    sre, sim, i_plane, q_plane = preprocess_cl(frames, cfg)
+    flat_re = jnp.concatenate([state.prev_spec_re, sre], axis=0)
+    flat_im = jnp.concatenate([state.prev_spec_im, sim], axis=0)
     with jax.named_scope("pbmm.phase_ifft_fused"):
         rre, rim = phase_col_ifft(
             flat_re, flat_im, None, None, cfg, out_rows=rows,
@@ -175,40 +165,41 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
             interpret=cfg.interpret_pallas,
         )
     hr = rows[1] - rows[0]
-    if cl:
-        if post_pallas_ok(geom, cfg, rows[0], hr):
-            win = hann2d_region(geom)
+    if post_pallas_ok(geom, cfg, rows[0], hr):
+        win = hann2d_region(geom)
+        if rgb:
+            from pbmm_tpu.engine.post_pallas import post_fused_rgb
+
+            rp, gp, bp = post_fused_rgb(
+                rec, win, cfg, rows[0], h, w, cfg.pad_mode,
+                interpret=cfg.interpret_pallas,
+            )
+        else:
             rp, gp, bp = post_fused(
                 rec, i_plane, q_plane, win, cfg, rows[0], h, w,
                 cfg.pad_mode, interpret=cfg.interpret_pallas,
             )
-            outs = jnp.stack([rp, gp, bp], axis=-1)
-        else:
-            chans = rec.reshape((t, 1, hr, geom.pad_w))
-            yiq3 = jnp.stack([i_plane, i_plane, q_plane], axis=-3)
-            outs = jnp.moveaxis(
-                posttail(chans, yiq3, cfg, row0=rows[0]), -3, -1)
-        new_state = VideoState(
-            sre[-1:], sim[-1:], state.prev_frame,
-            state.temporal, state.frame_idx + jnp.int32(t),
-        )
+        outs = jnp.stack([rp, gp, bp], axis=-1)
+    elif rgb:
+        chans = rec.reshape((t, 3, hr, geom.pad_w))
+        # posttail's rgb branch reads yiq_small only for geometry; the
+        # zero array is unused -> DCE'd by XLA.
+        outs = jnp.moveaxis(
+            posttail(chans, jnp.zeros((t, 3, h, w), jnp.float32), cfg,
+                     row0=rows[0]), -3, -1)
     else:
-        chans = rec.reshape((t, c, hr, geom.pad_w))
-        outs = jnp.moveaxis(posttail(chans, yiqs, cfg, row0=rows[0]), -3, -1)
-        new_state = VideoState(
-            jnp.real(specs[-1]), jnp.imag(specs[-1]), state.prev_frame,
-            state.temporal, state.frame_idx + jnp.int32(t),
-        )
+        chans = rec.reshape((t, 1, hr, geom.pad_w))
+        yiq3 = jnp.stack([i_plane, i_plane, q_plane], axis=-3)
+        outs = jnp.moveaxis(
+            posttail(chans, yiq3, cfg, row0=rows[0]), -3, -1)
+    new_state = VideoState(
+        sre[-c:], sim[-c:], state.prev_frame,
+        state.temporal, state.frame_idx + jnp.int32(t),
+    )
     return outs, new_state
 
 
 import os as _os
-
-# The scan-free batched engine (default on): removes the per-frame scan
-# glue and runs transpose-free channels-last pre/post.  PBMM_SCANFREE=0
-# forces the lax.scan engine (identical math; used for A/B measurement).
-_SCANFREE = _os.environ.get("PBMM_SCANFREE", "1") == "1"
-
 
 _chunk_batched_jit = functools.partial(jax.jit, static_argnames=("cfg",))(
     lambda frames, state, cfg: _chunk_batched(frames, state, cfg)
@@ -223,8 +214,20 @@ def _chunk_scan(frames, state: VideoState, cfg: MagnifyConfig):
     return outs, final_state
 
 
+def _use_batched(cfg: MagnifyConfig) -> bool:
+    """Engine select: `cfg.engine` (static, hashed, checkpointed).  The
+    PBMM_SCANFREE env var survives only as an A/B measurement override
+    (0 forces scan, 1 forces batched-where-eligible); read per call so
+    scripts can flip it between runs."""
+    env = _os.environ.get("PBMM_SCANFREE")
+    if env is not None:
+        return env == "1"
+    return cfg.engine == "batched"
+
+
 def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
-    if _SCANFREE and frames.shape[0] > 0 and _batched_ok(cfg, frames.shape):
+    if (_use_batched(cfg) and frames.shape[0] > 0
+            and _batched_ok(cfg, frames.shape)):
         return _chunk_batched_jit(frames, state, cfg)
     return _chunk_scan(frames, state, cfg)
 

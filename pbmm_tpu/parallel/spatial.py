@@ -111,6 +111,19 @@ def _amplify_local(cur, prev, cfg: MagnifyConfig, pad_h: int, pad_w: int):
     prev_mag = jnp.abs(prev)
     tau = cfg.magnitude_threshold
     levels = cfg.pyramid_levels
+    steer = cfg.orientations > 1 and levels >= 3
+    sect = None
+    if steer:
+        # Steerable sector windows at this shard's global frequencies
+        # (partition of unity across k; matches
+        # `pyramid.filters.angular_profiles_jnp`).
+        theta = jnp.arctan2(jnp.broadcast_to(fy, freq.shape),
+                            jnp.broadcast_to(fx, freq.shape))
+        p_ang = 2 * (cfg.orientations - 1)
+        raw = [jnp.abs(jnp.cos(theta - jnp.pi * k / cfg.orientations))
+               ** p_ang for k in range(cfg.orientations)]
+        denom = sum(raw)
+        sect = [a / jnp.where(denom == 0.0, 1.0, denom) for a in raw]
     total = jnp.zeros_like(freq)
     amped = jnp.zeros_like(cur_mag)
     for i in range(levels):
@@ -118,8 +131,14 @@ def _amplify_local(cur, prev, cfg: MagnifyConfig, pad_h: int, pad_w: int):
                                cfg.max_frequency)
         total = total + m
         if 0 < i < levels - 1:
-            gate = (cur_mag * m >= tau) & (prev_mag * m >= tau)
-            amped = amped + jnp.where(gate, m, 0.0)
+            if steer:
+                for a in sect:
+                    mk = m * a
+                    gate = (cur_mag * mk >= tau) & (prev_mag * mk >= tau)
+                    amped = amped + jnp.where(gate, mk, 0.0)
+            else:
+                gate = (cur_mag * m >= tau) & (prev_mag * m >= tau)
+                amped = amped + jnp.where(gate, m, 0.0)
     rot = rotation_term(cur, prev, cfg.phase_scale)
     return cur * ((total - amped) + amped * rot)
 
@@ -136,7 +155,6 @@ def _spatial_pallas_ok(cfg: MagnifyConfig, geom, n_rows: int) -> bool:
     return (
         cfg.fft_backend == "pallas"
         and not cfg.apply_magnitude_scale
-        and cfg.orientations <= 1
         and shapes_ok
     )
 

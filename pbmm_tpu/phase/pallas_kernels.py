@@ -200,12 +200,16 @@ def _radial_mask(f, i: int, levels: int, min_f: float, max_f: float):
 
 
 def _make_procedural_kernel(levels: int, min_f: float, max_f: float,
-                            phase_scale: float, tau: float):
+                            phase_scale: float, tau: float,
+                            orientations: int = 0):
     s = float(phase_scale)
     int_scale = s.is_integer() and 0 <= s <= 64
+    steer = orientations > 1 and levels >= 3
 
     def kernel(fy_ref, fx_ref, cur_re, cur_im, prev_re, prev_im,
                out_re, out_im):
+        from pbmm_tpu.spectral.fused import _sector_weights
+
         cr, ci = cur_re[0], cur_im[0]
         pr, pi_ = prev_re[0], prev_im[0]
         fy = fy_ref[...][:, 0:1]  # (tile_h, 1)
@@ -216,13 +220,21 @@ def _make_procedural_kernel(levels: int, min_f: float, max_f: float,
         prev_mag = jnp.sqrt(pr * pr + pi_ * pi_)
         gate_mag = jnp.minimum(cur_mag, prev_mag)
 
+        sect = _sector_weights(fy, fx, orientations) if steer else None
         total = jnp.zeros_like(f)
         amped = jnp.zeros_like(cr)
         for i in range(levels):  # static unroll, profiles fused on the VPU
             m = _radial_mask(f, i, levels, min_f, max_f)
             total = total + m
             if 0 < i < levels - 1:
-                amped = amped + jnp.where(gate_mag * m >= tau, m, 0.0)
+                if steer:
+                    # K sector masks m*a_k per mid band; per-sector gates.
+                    for a in sect:
+                        mk = m * a
+                        amped = amped + jnp.where(
+                            gate_mag * mk >= tau, mk, 0.0)
+                else:
+                    amped = amped + jnp.where(gate_mag * m >= tau, m, 0.0)
 
         if int_scale:
             # Trig-free: (prev*conj(cur)/|.|)^s == e^{i*s*wrap(dphi)}.
@@ -268,12 +280,12 @@ def _make_procedural_kernel(levels: int, min_f: float, max_f: float,
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "min_f", "max_f", "phase_scale", "tau",
-                     "interpret"),
+                     "orientations", "interpret"),
 )
 def _amplify_pallas_procedural(
     cur_re, cur_im, prev_re, prev_im, fy, fx,
     levels: int, min_f: float, max_f: float,
-    phase_scale: float, tau: float, interpret: bool,
+    phase_scale: float, tau: float, orientations: int, interpret: bool,
 ):
     c, h, w = cur_re.shape
     tile_h = min(h, 128) if h * w <= 2**21 else 64
@@ -288,7 +300,8 @@ def _amplify_pallas_procedural(
     fx_spec = pl.BlockSpec(
         (8, w), lambda ci, hi: (0, 0), memory_space=pltpu.VMEM
     )
-    kernel = _make_procedural_kernel(levels, min_f, max_f, phase_scale, tau)
+    kernel = _make_procedural_kernel(levels, min_f, max_f, phase_scale, tau,
+                                     orientations)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
@@ -314,8 +327,10 @@ def pyramid_phase_amplify_pallas_procedural(
     """Constant-free fused band/phase pass: radial masks are evaluated
     in-kernel from (H,)/(W,) frequency-axis vectors (any spectral layout),
     so per-frame HBM traffic is exactly the two input spectra + the output
-    — no mask planes.  Radial (reference) bank only; the steerable /
-    temporal variants fall back to the XLA procedural pass.
+    — no mask planes.  Serves the radial (reference) bank and the
+    steerable angular extension (orientations > 1: in-kernel sector
+    windows via `spectral.fused._sector_weights`, r4); temporal-override
+    variants fall back to the XLA procedural pass.
 
     Requires lane-aligned spectra (W % 128 == 0) and pyramid mode without
     delta override.
@@ -334,6 +349,7 @@ def pyramid_phase_amplify_pallas_procedural(
         fy, fx,
         int(cfg.pyramid_levels), float(cfg.min_frequency),
         float(cfg.max_frequency), float(cfg.phase_scale),
-        float(cfg.magnitude_threshold), bool(interpret),
+        float(cfg.magnitude_threshold), int(cfg.orientations),
+        bool(interpret),
     )
     return jax.lax.complex(out_re, out_im).reshape(shape)

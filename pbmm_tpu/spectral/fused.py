@@ -408,6 +408,37 @@ def _eval_mask(kind, lo, hi, freq):
     return jnp.where((freq >= lo) & (freq <= hi), band, 0.0)
 
 
+def _sector_weights(fy_col, fx_row, k_or: int):
+    """The K partition-of-unity angular sector windows of the steerable
+    extension, evaluated procedurally on a VMEM block (matches
+    `pyramid.filters.angular_profiles_jnp` / the independent fp64 oracle
+    `oracle/reference.py::steerable_mask_planes`):
+
+        a_k = |cos(theta - pi k/K)|^(2(K-1)) / sum_k' |cos(...)|^(2(K-1))
+
+    Mosaic-legal evaluation: theta = atan2(fy, fx) via the odd polynomial,
+    then cos(theta - phi_k) expanded as cos(theta)cos(phi_k) +
+    sin(theta)sin(phi_k) with host-constant (cos phi_k, sin phi_k) — one
+    polynomial sincos pair serves all K sectors, and the even power runs
+    as (c^2)^(K-1) square-and-multiply.  The normalizer is > 0 for every
+    theta (the K shifted cosines never vanish simultaneously)."""
+    theta = _atan2_poly(
+        jnp.broadcast_to(fy_col, (fy_col.shape[0], fx_row.shape[1])),
+        jnp.broadcast_to(fx_row, (fy_col.shape[0], fx_row.shape[1])),
+    )
+    ct, st = _cos_pi(theta), _sin_pi(theta)
+    raw = []
+    for k in range(k_or):
+        phi = np.pi * k / k_or
+        c = ct * jnp.float32(np.cos(phi)) + st * jnp.float32(np.sin(phi))
+        raw.append(_pow_static(c * c, k_or - 1))
+    denom = raw[0]
+    for a in raw[1:]:
+        denom = denom + a
+    inv = 1.0 / denom
+    return [a * inv for a in raw]
+
+
 def _iir_filter_delta(delta, lpf, lps, cfg):
     """One step of the streaming IIR band-pass on the delta plane
     (`phase/temporal.py::temporal_apply`, same recurrence):
@@ -468,12 +499,24 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None):
     tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
 
     params = _mask_params(cfg)
+    steer = cfg.orientations > 1 and cfg.pyramid_levels >= 3
+    sect = (_sector_weights(fy_col, fx_row, cfg.orientations)
+            if steer else None)
     total = jnp.zeros_like(freq)
     amped = jnp.zeros_like(min_mag2)
     for kind, lo, hi, amp in params:
         m = _eval_mask(kind, lo, hi, freq)
         total = total + m
-        if amp:
+        if amp and steer:
+            # Steerable: each mid band splits into K sector masks m*a_k
+            # (partition of unity, so `total` — the all-planes sum — is
+            # unchanged); the magnitude gate applies per SECTOR mask,
+            # exactly as the per-plane oracle gates each plane.
+            for a in sect:
+                mk = m * a
+                gate = min_mag2 * (mk * mk) >= tau2
+                amped = amped + jnp.where(gate, mk, 0.0)
+        elif amp:
             gate = min_mag2 * (m * m) >= tau2
             amped = amped + jnp.where(gate, m, 0.0)
 
@@ -704,11 +747,14 @@ def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
         )
 
         def dot(x, _jm):
-            # x @ J bit-exactly in 3 one-pass bf16 dots (vs HIGHEST's 6):
-            # x = h1 + h2 + h3 with each h_k = bf16 of the running
-            # residual (8+8+8 bits covers the f32 mantissa exactly), and
-            # J's 0/1 entries make every product and the accumulation
-            # exact — each output lane is a single x value.
+            # x @ J in 3 one-pass bf16 dots (vs HIGHEST's 6): x = h1 +
+            # h2 + h3 with each h_k = bf16 of the running residual
+            # (8+8+8 bits covers the f32 mantissa), and J's 0/1 entries
+            # make every product and the accumulation exact — each
+            # output lane is a single x value.  Exactness bound: the
+            # third residual flushes when |x| drops below bf16's normal
+            # range (~1e-38), leaving an absolute error ~1e-38 there —
+            # vacuous for real spectra (advisor r3).
             h1 = x.astype(jnp.bfloat16)
             r1 = x - h1.astype(jnp.float32)
             h2 = r1.astype(jnp.bfloat16)
@@ -775,18 +821,18 @@ def fused_eligible(cfg) -> bool:
     """Whether the fully-fused spectral path serves this config (opt-in via
     `use_fused_spectral`).
 
-    Both reference modes are served: pyramid (radial banks; integer
+    All first-class modes are served: pyramid (radial banks; integer
     phase scales via the exact trig-free rotation, non-integer via the
-    polynomial atan2+sincos) and standard (whole-spectrum weighted
+    polynomial atan2+sincos), the steerable angular extension
+    (orientations > 1: per-band K-sector masks evaluated in-kernel via
+    `_sector_weights`, r4), and standard (whole-spectrum weighted
     rotation, always polynomial), with either the two-frame temporal
     model or the streaming IIR band-pass (the low-pass taps ride the
-    kernel as carry planes).  Only the steerable angular extension
-    (orientations > 1) falls back to the XLA procedural pass."""
+    kernel as carry planes)."""
     return (
         cfg.use_fused_spectral
         and cfg.fft_backend == "pallas"
         and cfg.mode in ("pyramid", "standard")
         and cfg.temporal.mode in ("two_frame", "iir_bandpass")
         and not cfg.apply_magnitude_scale
-        and (cfg.mode == "standard" or cfg.orientations <= 1)
     )

@@ -153,15 +153,20 @@ def _roll(x, shift, axis):
 #   - "b3": a manual two-term bf16 split of each operand (x = hi + lo,
 #     both bf16; bf16 x bf16 -> f32 products are EXACT) keeping the
 #     hi*hi + hi*lo + lo*hi terms — 3 one-pass dots per real product
-#     (~2^-18 relative from the dropped lo*lo term) vs HIGHEST's 6.
-# Measured on hardware: b3 changed 1080p throughput by +0.1% (the MXU is
-# not the bottleneck once Karatsuba is in) while costing ~30 dB of
-# oracle-parity margin (146 -> 113 dB), so HIGHEST stays the default and
-# b3 remains an experiment flag.
-# PBMM_GM_PRECISION={highest (default), b3, default}.
+#     (~2^-16 relative per product from the dropped lo*lo term) vs
+#     HIGHEST's 6.
+# r4 per-kernel measurement (Hermitian kept-lane kernel set,
+# benchmarks/kexp.py on v5e): b3 cuts the fwd row-FFT 0.043 -> 0.023 ms
+# (to the pure-copy DMA wall), the fwd col-FFT 0.088 -> 0.048, the
+# row-IFFT 0.103 -> 0.073 and the phase+col-IFFT 0.151 -> 0.141 — about
+# -0.10 ms on the 0.69 ms frame — while end-to-end oracle parity stays
+# >110 dB (vs ~146 at HIGHEST; target is 35).  b3 is therefore the r4
+# default; the r3 "+0.1%" observation predated the Hermitian layout
+# (whose narrower kernels exposed the MXU passes on the critical path).
+# PBMM_GM_PRECISION={b3 (default), highest, default}.
 import os as _os
 
-_GM_MODE = _os.environ.get("PBMM_GM_PRECISION", "highest")
+_GM_MODE = _os.environ.get("PBMM_GM_PRECISION", "b3")
 _GM_PRECISION = {
     "b3": jax.lax.Precision.DEFAULT,  # passes are built manually
     "default": jax.lax.Precision.DEFAULT,

@@ -27,15 +27,14 @@ def test_eligibility():
     assert not fused_eligible(GENERIC)  # xla backend
     from pbmm_tpu.config import TemporalConfig
 
-    # Both reference modes AND both temporal models are served (standard
-    # + IIR since r3); only the steerable pyramid extension falls back to
-    # the XLA pass.
+    # All first-class modes AND both temporal models are served (standard
+    # + IIR since r3; the steerable pyramid extension since r4).
     assert fused_eligible(
         FUSED.replace(temporal=TemporalConfig(mode="iir_bandpass"))
     )
     assert fused_eligible(FUSED.replace(mode="standard"))
     assert fused_eligible(FUSED.replace(phase_scale=2.5))
-    assert not fused_eligible(FUSED.replace(orientations=4))
+    assert fused_eligible(FUSED.replace(orientations=4))
 
 
 def test_fused_standard_mode_matches_generic():

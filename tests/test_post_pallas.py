@@ -52,12 +52,40 @@ def test_post_fused_yiq_gains():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-def test_post_pallas_rejects_rgb_chroma_and_no_halo():
+def test_post_pallas_rejects_no_halo():
     cfg = MagnifyConfig().tuned_for_tpu()
     geom = geometry_for(1080, 1920, cfg.pad_mode)
     rows = blur_row_window(geom, cfg)
-    assert not post_pallas_ok(geom, cfg.replace(chroma="rgb"), rows[0],
-                              rows[1] - rows[0])
+    # chroma="rgb" is served since r4 (post_fused_rgb).
+    assert post_pallas_ok(geom, cfg.replace(chroma="rgb"), rows[0],
+                          rows[1] - rows[0])
     # 256x256 input in a 256 pad: zero halo on every side.
     g2 = geometry_for(256, 256, "square_pow2")
     assert not post_pallas_ok(g2, cfg, 0, 256)
+
+
+def test_post_fused_rgb_matches_posttail():
+    # The r4 chroma="rgb" post kernel: all three planes blurred/cropped
+    # in one pass vs the XLA posttail rgb branch.
+    from pbmm_tpu.engine.post_pallas import post_fused_rgb
+
+    for kw in ({}, {"compensate_window": True},
+               {"apply_yiq_gains": True, "yiq_gains": (0.9, 1.2, 0.8)}):
+        cfg = MagnifyConfig(chroma="rgb", **kw).tuned_for_tpu()
+        h, w, t = 1080, 1920, 2
+        geom = geometry_for(h, w, cfg.pad_mode)
+        rows = blur_row_window(geom, cfg)
+        hr = rows[1] - rows[0]
+        assert post_pallas_ok(geom, cfg, rows[0], hr)
+        rng = np.random.default_rng(3)
+        rec3 = rng.random((3 * t, hr, geom.pad_w)).astype(np.float32)
+        win = hann2d_region(geom)
+        rp, gp, bp = post_fused_rgb(jnp.asarray(rec3), win, cfg, rows[0],
+                                    h, w, cfg.pad_mode, interpret=True)
+        got = np.stack([np.asarray(rp), np.asarray(gp), np.asarray(bp)],
+                       axis=-1)
+        chans = jnp.asarray(rec3).reshape(t, 3, hr, geom.pad_w)
+        want = np.moveaxis(np.asarray(posttail(
+            chans, jnp.zeros((t, 3, h, w), jnp.float32), cfg,
+            row0=rows[0])), -3, -1)
+        np.testing.assert_allclose(got, want, atol=2e-4), kw
