@@ -205,6 +205,17 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
     std_fps = fps_of(frames_1080, cfg_tuned.replace(mode="standard"))
     log(f"standard-mode (fused): {std_fps:.2f} fps 1080p/chip")
 
+    # Steerable orientation mode through the fused kernels (r4: in-kernel
+    # partition-of-unity sector windows) — BASELINE configs 1-2's angular
+    # extension at the full 1080p working set.
+    steer_fps = fps_of(frames_1080, cfg_tuned.replace(orientations=4))
+    log(f"steerable-4 (fused): {steer_fps:.2f} fps 1080p/chip")
+
+    # chroma="rgb": all three YIQ planes FFT-bound (3x the spectral work
+    # by construction) through the r4 channels-last fast path.
+    rgb_fps = fps_of(frames_1080, cfg_tuned.replace(chroma="rgb"))
+    log(f"chroma-rgb (fused): {rgb_fps:.2f} fps 1080p/chip")
+
     # Streaming IIR temporal mode (BASELINE configs 2-5) — the low-pass
     # taps ride the fused phase kernel as carry planes since r3.
     from pbmm_tpu.config import TemporalConfig

@@ -49,7 +49,8 @@ def config1(quick):
 
     frames = oscillating_bar(size=128, frames=16 if quick else 64, bar_width=2)
     # 2 mid scales + high/low pass = 4 levels; 4 angular sectors per scale.
-    cfg = MagnifyConfig(pyramid_levels=4, orientations=4, phase_scale=10.0)
+    cfg = _maybe_tuned(
+        MagnifyConfig(pyramid_levels=4, orientations=4, phase_scale=10.0))
     fps, out = _time_video(frames, cfg)
     # Quality for the SAME config that is timed: the fp64 oracle carries
     # an independent steerable bank (`oracle.reference.steerable_mask_planes`)
@@ -77,13 +78,13 @@ def config2(quick):
     ))  # staged on device: measure compute, not tunnel transfer
     results = {}
     for scale in ([5.0] if quick else [1.0, 5.0, 15.0]):
-        cfg = MagnifyConfig(
+        cfg = _maybe_tuned(MagnifyConfig(
             pyramid_levels=5,
             orientations=8,
             phase_scale=scale,
             temporal=TemporalConfig(mode="iir_bandpass", low_hz=0.5,
                                     high_hz=6.0, fps=30.0),
-        )
+        ))
         out, _ = magnify_video(frames, cfg)  # warm-up: compile
         _sync(out[0, 0, 0])
         t0 = time.perf_counter()
@@ -106,10 +107,10 @@ def config3(quick):
     frames = jax.device_put(oscillating_gaussian_blob(
         height=512, width=512, frames=4 if quick else 16
     ))  # staged on device: measure compute, not tunnel transfer
-    cfg = MagnifyConfig(
+    cfg = _maybe_tuned(MagnifyConfig(
         temporal=TemporalConfig(mode="iir_bandpass", low_hz=0.4,
                                 high_hz=4.0, fps=30.0)
-    )
+    ))
     # Streamed in 2 chunks with carried state (the streaming contract).
     half = len(frames) // 2
     out1, st = magnify_video(frames[:half], cfg)  # warm-up: compile
@@ -183,11 +184,26 @@ def config5(quick):
             "fps_ndev": round(fpsn, 2), "efficiency": round(eff, 3)}
 
 
+_TUNED = False
+
+
+def _maybe_tuned(cfg):
+    """--tuned: the production TPU configuration (fused Pallas kernel
+    set) for the single-device configs 1-3; configs 4-5 exercise the
+    sharded engines, which pick their own per-shard kernels."""
+    return cfg.tuned_for_tpu() if _TUNED else cfg
+
+
 def main():
+    global _TUNED
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--tuned", action="store_true",
+                    help="run configs 1-3 in the tuned fused-Pallas TPU "
+                         "configuration (the production path on hardware)")
     args = ap.parse_args()
+    _TUNED = args.tuned
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for c in [int(x) for x in args.configs.split(",")]:
         try:

@@ -390,6 +390,34 @@ def _phase_block_standard(cr, ci, pr, pi_, fy_col, fx_row, cfg):
             jnp.where(gate_pass, ci, out_im))
 
 
+def _disjoint_bands(params):
+    """If every amplified plane is a raised-cosine band and the bands'
+    interiors are pairwise disjoint (true for the geometric spacing
+    whenever the ratio q = (max/min)^(1/(L-3)) >= 3 — e.g. the reference
+    defaults L=5, 0.05/0.45 where q = 3 exactly, bands touching at their
+    zero endpoints), return the (lo, hi) list sorted by lo; else None.
+
+    Disjointness lets the kernel evaluate the amplified-band sum with ONE
+    cos polynomial (select the active band's ramp coordinate, evaluate
+    once) and ONE magnitude gate instead of one of each per band — the
+    phase chain is the dominant compute in the fused phase/col-IFFT
+    kernel (~0.07 ms of its 0.14 ms at 1080p, `benchmarks/kdecomp.py`).
+    """
+    bands = [(lo, hi) for kind, lo, hi, amp in params if amp]
+    if not bands or any(kind != "band" for kind, _, _, amp in params if amp):
+        return None
+    bands.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bands, bands[1:]):
+        # Interior overlap disqualifies; touching endpoints are fine
+        # (the raised cosine is 0 there).  The epsilon absorbs fp
+        # rounding of the geometric band centers (q == 3 exactly makes
+        # hi1 == lo2 up to ~1e-16): an overlap that small lives where
+        # both masks are O((eps/width)^2) ~ 1e-12 — below f32 noise.
+        if hi1 > lo2 + 1e-6 * (hi1 - lo1):
+            return None
+    return bands
+
+
 def _eval_mask(kind, lo, hi, freq):
     if kind == "zero":
         return jnp.zeros_like(freq)
@@ -502,23 +530,53 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None):
     steer = cfg.orientations > 1 and cfg.pyramid_levels >= 3
     sect = (_sector_weights(fy_col, fx_row, cfg.orientations)
             if steer else None)
-    total = jnp.zeros_like(freq)
-    amped = jnp.zeros_like(min_mag2)
-    for kind, lo, hi, amp in params:
-        m = _eval_mask(kind, lo, hi, freq)
+    bands = _disjoint_bands(params)
+    if bands is not None:
+        # Disjoint-band fast path: at most one amplified band is nonzero
+        # per bin, so select its ramp coordinate and evaluate ONE cos
+        # polynomial; `m` then equals the sum of all amplified masks.
+        total = jnp.zeros_like(freq)
+        for kind, lo, hi, amp in params:
+            if not amp:
+                total = total + _eval_mask(kind, lo, hi, freq)
+        t_act = jnp.zeros_like(freq)
+        in_any = None
+        for lo, hi in bands:
+            t = (freq - lo) / jnp.float32(hi - lo)
+            sel = (t > 0.0) & (t < 1.0)
+            t_act = jnp.where(sel, t, t_act)
+            in_any = sel if in_any is None else (in_any | sel)
+        band = 0.5 * (1.0 + _cos_pi(2.0 * jnp.pi * (t_act - 0.5)))
+        m = jnp.where(in_any, band, 0.0)
         total = total + m
-        if amp and steer:
-            # Steerable: each mid band splits into K sector masks m*a_k
-            # (partition of unity, so `total` — the all-planes sum — is
-            # unchanged); the magnitude gate applies per SECTOR mask,
-            # exactly as the per-plane oracle gates each plane.
+        if steer:
+            amped = jnp.zeros_like(min_mag2)
             for a in sect:
                 mk = m * a
                 gate = min_mag2 * (mk * mk) >= tau2
                 amped = amped + jnp.where(gate, mk, 0.0)
-        elif amp:
+        else:
             gate = min_mag2 * (m * m) >= tau2
-            amped = amped + jnp.where(gate, m, 0.0)
+            amped = jnp.where(gate, m, 0.0)
+    else:
+        total = jnp.zeros_like(freq)
+        amped = jnp.zeros_like(min_mag2)
+        for kind, lo, hi, amp in params:
+            m = _eval_mask(kind, lo, hi, freq)
+            total = total + m
+            if amp and steer:
+                # Steerable: each mid band splits into K sector masks
+                # m*a_k (partition of unity, so `total` — the all-planes
+                # sum — is unchanged); the magnitude gate applies per
+                # SECTOR mask, exactly as the per-plane oracle gates
+                # each plane.
+                for a in sect:
+                    mk = m * a
+                    gate = min_mag2 * (mk * mk) >= tau2
+                    amped = amped + jnp.where(gate, mk, 0.0)
+            elif amp:
+                gate = min_mag2 * (m * m) >= tau2
+                amped = amped + jnp.where(gate, m, 0.0)
 
     # rotation e^{i s delta}
     s = float(cfg.phase_scale)

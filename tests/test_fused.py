@@ -86,6 +86,33 @@ def test_windowed_row_fft_matches_unfused(rng):
     np.testing.assert_allclose(np.asarray(im_w), np.asarray(im_u), atol=1e-3)
 
 
+def test_disjoint_band_detection():
+    # The single-cos fast path fires exactly when the amplified bands'
+    # interiors are disjoint: geometric spacing ratio q >= 3.  Defaults
+    # (L=5, 0.05/0.45: q=3, touching) and L=4 (q=9) qualify; L=6
+    # (q~2.08, overlapping) and L=3 (zero-mask quirk) do not.
+    from pbmm_tpu.spectral.fused import _disjoint_bands, _mask_params
+
+    assert _disjoint_bands(_mask_params(MagnifyConfig())) is not None
+    assert _disjoint_bands(
+        _mask_params(MagnifyConfig(pyramid_levels=4))) is not None
+    assert _disjoint_bands(
+        _mask_params(MagnifyConfig(pyramid_levels=6))) is None
+    assert _disjoint_bands(
+        _mask_params(MagnifyConfig(pyramid_levels=3))) is None
+
+
+def test_fused_overlapping_bands_matches_generic():
+    # L=6 takes the generic per-band loop (bands overlap); parity must
+    # hold there too.
+    frames = oscillating_bar(size=64, frames=3, bar_width=2)
+    cfg_f = FUSED.replace(pyramid_levels=6)
+    cfg_g = GENERIC.replace(pyramid_levels=6)
+    out_f = np.asarray(magnify_clip_batched(frames, cfg_f))
+    out_g = np.asarray(magnify_clip_batched(frames, cfg_g))
+    assert psnr(out_f, out_g) > 70.0
+
+
 def test_fused_clip_matches_generic_pipeline():
     frames = oscillating_bar(size=64, frames=4, bar_width=2)
     out_f = np.asarray(magnify_clip_batched(frames, FUSED))
