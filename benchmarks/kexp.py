@@ -97,6 +97,19 @@ def main():
                                           full_w=wp),
         (re2, im2, pre_, pim))
 
+    # Mode variants of the phase kernel: the pyramid/standard fps gap
+    # lives almost entirely here (the other kernels are mode-blind).
+    cfg_std = cfg.replace(mode="standard")
+    exps["phase_kept_std"] = (
+        lambda a, b, c, d: phase_col_ifft(a, b, c, d, cfg_std,
+                                          out_rows=rows, full_w=wp),
+        (re2, im2, pre_, pim))
+    cfg_steer = cfg.replace(orientations=4)
+    exps["phase_kept_steer"] = (
+        lambda a, b, c, d: phase_col_ifft(a, b, c, d, cfg_steer,
+                                          out_rows=rows, full_w=wp),
+        (re2, im2, pre_, pim))
+
     rre, rim = phase_col_ifft(re2, im2, pre_, pim, cfg, out_rows=rows,
                               full_w=wp)
     exps["rowifft_kept"] = (

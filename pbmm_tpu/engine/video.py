@@ -164,6 +164,97 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
             pad_h=geom.pad_h, full_w=geom.pad_w,
             interpret=cfg.interpret_pallas,
         )
+    outs = _post_block(rec, i_plane, q_plane, cfg, geom, rows, t, h, w)
+    new_state = VideoState(
+        sre[-c:], sim[-c:], state.prev_frame,
+        state.temporal, state.frame_idx + jnp.int32(t),
+    )
+    return outs, new_state
+
+
+def _batched_iir_ok(cfg: MagnifyConfig, frame_shape) -> bool:
+    """Whether the hybrid IIR chunk engine serves this config: fused
+    spectral path with the IIR temporal mode and cached spectra.  Only
+    the phase/col-IFFT stage is truly sequential (the IIR low-pass carry);
+    everything else batches."""
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import hermitian_active
+    from pbmm_tpu.spectral.hermitian import hermitian_kept_width
+
+    if not (cfg.cache_prev_spectrum
+            and cfg.temporal.mode == "iir_bandpass"):
+        return False
+    geom = geometry_for(frame_shape[-3], frame_shape[-2], cfg.pad_mode)
+    wk = (hermitian_kept_width(geom.pad_w)
+          if hermitian_active(cfg, geom) else geom.pad_w)
+    return fused_reconstruct_ok(cfg, (geom.pad_h, wk))
+
+
+def _chunk_batched_iir(frames, state: VideoState, cfg: MagnifyConfig):
+    """Hybrid chunk engine for the streaming IIR temporal mode (r4): the
+    pre stage and both forward FFTs run as ONE batched dispatch over the
+    whole chunk, a `lax.scan` threads the sequential IIR low-pass carry
+    through per-frame phase/col-IFFT kernel calls, and the row-IFFT +
+    post stages batch again over the scan's stacked outputs.  The scan
+    engine pays the per-frame glue on EVERY stage; here it remains only
+    around the one stage whose math is inherently sequential."""
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import blur_row_window, preprocess_cl
+    from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
+
+    t = frames.shape[0]
+    h, w = frames.shape[-3], frames.shape[-2]
+    geom = geometry_for(h, w, cfg.pad_mode)
+    rows = blur_row_window(geom, cfg)
+    rgb = cfg.chroma == "rgb"
+    c = 3 if rgb else 1
+    sre, sim, i_plane, q_plane = preprocess_cl(frames, cfg)
+    all_re = jnp.concatenate([state.prev_spec_re, sre], axis=0)
+    all_im = jnp.concatenate([state.prev_spec_im, sim], axis=0)
+
+    def step(carry, i):
+        lpf, lps = carry
+        cur_re = jax.lax.dynamic_slice_in_dim(all_re, (i + 1) * c, c)
+        cur_im = jax.lax.dynamic_slice_in_dim(all_im, (i + 1) * c, c)
+        prev_re = jax.lax.dynamic_slice_in_dim(all_re, i * c, c)
+        prev_im = jax.lax.dynamic_slice_in_dim(all_im, i * c, c)
+        rre, rim, nlpf, nlps = phase_col_ifft(
+            cur_re, cur_im, prev_re, prev_im, cfg, out_rows=rows,
+            full_w=geom.pad_w, lp_fast=lpf, lp_slow=lps,
+            interpret=cfg.interpret_pallas,
+        )
+        return (nlpf, nlps), (rre, rim)
+
+    init = (state.temporal.lp_fast, state.temporal.lp_slow)
+    (nlpf, nlps), (rres, rims) = jax.lax.scan(
+        step, init, jnp.arange(t, dtype=jnp.int32)
+    )
+    hr = rows[1] - rows[0]
+    wk = rres.shape[-1]
+    with jax.named_scope("pbmm.phase_ifft_fused"):
+        rec = row_ifft_magnitude(
+            rres.reshape((t * c, hr, wk)), rims.reshape((t * c, hr, wk)),
+            magnitude=(cfg.reconstruct == "magnitude"),
+            pad_h=geom.pad_h, full_w=geom.pad_w,
+            interpret=cfg.interpret_pallas,
+        )
+    outs = _post_block(rec, i_plane, q_plane, cfg, geom, rows, t, h, w)
+    new_state = VideoState(
+        sre[-c:], sim[-c:], state.prev_frame,
+        TemporalState(nlpf, nlps),
+        state.frame_idx + jnp.int32(t),
+    )
+    return outs, new_state
+
+
+def _post_block(rec, i_plane, q_plane, cfg, geom, rows, t, h, w):
+    """Shared post tail of the batched engines: fused Pallas post kernel
+    where eligible, else the XLA posttail; returns (T, H, W, 3) RGB."""
+    from pbmm_tpu.core.window import hann2d_region
+    from pbmm_tpu.engine.pipeline import posttail
+    from pbmm_tpu.engine.post_pallas import post_fused, post_pallas_ok
+
+    rgb = cfg.chroma == "rgb"
     hr = rows[1] - rows[0]
     if post_pallas_ok(geom, cfg, rows[0], hr):
         win = hann2d_region(geom)
@@ -179,24 +270,17 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
                 rec, i_plane, q_plane, win, cfg, rows[0], h, w,
                 cfg.pad_mode, interpret=cfg.interpret_pallas,
             )
-        outs = jnp.stack([rp, gp, bp], axis=-1)
-    elif rgb:
+        return jnp.stack([rp, gp, bp], axis=-1)
+    if rgb:
         chans = rec.reshape((t, 3, hr, geom.pad_w))
         # posttail's rgb branch reads yiq_small only for geometry; the
         # zero array is unused -> DCE'd by XLA.
-        outs = jnp.moveaxis(
+        return jnp.moveaxis(
             posttail(chans, jnp.zeros((t, 3, h, w), jnp.float32), cfg,
                      row0=rows[0]), -3, -1)
-    else:
-        chans = rec.reshape((t, 1, hr, geom.pad_w))
-        yiq3 = jnp.stack([i_plane, i_plane, q_plane], axis=-3)
-        outs = jnp.moveaxis(
-            posttail(chans, yiq3, cfg, row0=rows[0]), -3, -1)
-    new_state = VideoState(
-        sre[-c:], sim[-c:], state.prev_frame,
-        state.temporal, state.frame_idx + jnp.int32(t),
-    )
-    return outs, new_state
+    chans = rec.reshape((t, 1, hr, geom.pad_w))
+    yiq3 = jnp.stack([i_plane, i_plane, q_plane], axis=-3)
+    return jnp.moveaxis(posttail(chans, yiq3, cfg, row0=rows[0]), -3, -1)
 
 
 import os as _os
@@ -225,10 +309,17 @@ def _use_batched(cfg: MagnifyConfig) -> bool:
     return cfg.engine == "batched"
 
 
+_chunk_batched_iir_jit = functools.partial(
+    jax.jit, static_argnames=("cfg",)
+)(lambda frames, state, cfg: _chunk_batched_iir(frames, state, cfg))
+
+
 def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
-    if (_use_batched(cfg) and frames.shape[0] > 0
-            and _batched_ok(cfg, frames.shape)):
-        return _chunk_batched_jit(frames, state, cfg)
+    if _use_batched(cfg) and frames.shape[0] > 0:
+        if _batched_ok(cfg, frames.shape):
+            return _chunk_batched_jit(frames, state, cfg)
+        if _batched_iir_ok(cfg, frames.shape):
+            return _chunk_batched_iir_jit(frames, state, cfg)
     return _chunk_scan(frames, state, cfg)
 
 

@@ -444,27 +444,37 @@ def _sector_weights(fy_col, fx_row, k_or: int):
 
         a_k = |cos(theta - pi k/K)|^(2(K-1)) / sum_k' |cos(...)|^(2(K-1))
 
-    Mosaic-legal evaluation: theta = atan2(fy, fx) via the odd polynomial,
-    then cos(theta - phi_k) expanded as cos(theta)cos(phi_k) +
-    sin(theta)sin(phi_k) with host-constant (cos phi_k, sin phi_k) — one
-    polynomial sincos pair serves all K sectors, and the even power runs
-    as (c^2)^(K-1) square-and-multiply.  The normalizer is > 0 for every
-    theta (the K shifted cosines never vanish simultaneously)."""
-    theta = _atan2_poly(
-        jnp.broadcast_to(fy_col, (fy_col.shape[0], fx_row.shape[1])),
-        jnp.broadcast_to(fx_row, (fy_col.shape[0], fx_row.shape[1])),
-    )
-    ct, st = _cos_pi(theta), _sin_pi(theta)
-    raw = []
+    Trig-free evaluation (r4): cos^2(theta - phi) = (1 + cos(2theta)
+    cos(2phi) + sin(2theta) sin(2phi)) / 2, and the double angle is
+    ALGEBRAIC in the frequency pair — cos(2theta) = (fx^2 - fy^2)/r^2,
+    sin(2theta) = 2 fx fy / r^2 — so no atan2/sincos polynomial runs at
+    all; the even power is (c^2)^(K-1) square-and-multiply.  The
+    normalizer is not just positive but CONSTANT: sum_k cos^{2m}(theta -
+    pi k/K) for m = K-1 equals K * C(2m, m) / 4^m for every theta (the
+    binomial expansion's only surviving harmonics cos(2j theta) with
+    K | j have j <= m < K, i.e. j = 0), so the per-bin division
+    disappears into a host-constant multiply.  At DC (r = 0) the
+    convention theta = atan2(0,0) = 0 gives cos2t = 1, sin2t = 0."""
+    from math import comb
+
+    fy = jnp.broadcast_to(fy_col, (fy_col.shape[0], fx_row.shape[1]))
+    fx = jnp.broadcast_to(fx_row, (fy_col.shape[0], fx_row.shape[1]))
+    r2 = fx * fx + fy * fy
+    inv_r2 = jnp.where(r2 > 0, 1.0 / jnp.maximum(r2, 1e-38), 0.0)
+    cos2t = jnp.where(r2 > 0, (fx * fx - fy * fy) * inv_r2, 1.0)
+    sin2t = 2.0 * fx * fy * inv_r2
+    m = k_or - 1
+    inv_norm = jnp.float32(4.0**m / (k_or * comb(2 * m, m)))
+    out = []
     for k in range(k_or):
-        phi = np.pi * k / k_or
-        c = ct * jnp.float32(np.cos(phi)) + st * jnp.float32(np.sin(phi))
-        raw.append(_pow_static(c * c, k_or - 1))
-    denom = raw[0]
-    for a in raw[1:]:
-        denom = denom + a
-    inv = 1.0 / denom
-    return [a * inv for a in raw]
+        phi2 = 2.0 * np.pi * k / k_or
+        c2 = 0.5 * (1.0 + cos2t * jnp.float32(np.cos(phi2))
+                    + sin2t * jnp.float32(np.sin(phi2)))
+        # c2 = cos^2(theta - phi_k) >= 0 up to fp rounding; clamp the
+        # tiny negatives so the odd-m power cannot flip sign.
+        c2 = jnp.maximum(c2, 0.0)
+        out.append(_pow_static(c2, m) * inv_norm)
+    return out
 
 
 def _iir_filter_delta(delta, lpf, lps, cfg):

@@ -144,6 +144,24 @@ class TestFusedIIR:
         out_f, _ = magnify_video(clip, self.FUSED.replace(mode="standard"))
         assert psnr(np.asarray(out_f), np.asarray(out_x)) > 70.0
 
+    def test_hybrid_iir_engine_equals_scan(self):
+        """The r4 hybrid IIR chunk engine (batched FFTs around a scan of
+        only the sequential phase stage) is bit-identical to the scan
+        engine, including the carried lp state across chunk boundaries."""
+        from pbmm_tpu.engine.video import _batched_iir_ok
+        from pbmm_tpu.oracle.synthetic import oscillating_bar
+
+        clip = oscillating_bar(size=128, frames=8, bar_width=2)
+        hyb = self.FUSED.replace(use_hermitian_spectral=True)
+        assert _batched_iir_ok(hyb, clip.shape)
+        out_h, st_h = magnify_video(clip, hyb)
+        out_s, st_s = magnify_video(clip, hyb.replace(engine="scan"))
+        np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_s),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_h.temporal.lp_fast),
+                                   np.asarray(st_s.temporal.lp_fast),
+                                   atol=1e-6)
+
 
 def _tone_amplitude(sig: np.ndarray, f_hz: float, fps: float) -> float:
     """Amplitude of the `f_hz` component via complex demodulation."""
