@@ -83,7 +83,10 @@ def main():
     # tunnel), and if it returned before the queue drained, doubling the
     # queue would not double the wall time.
     best = None
-    for trial in range(3):
+    for trial in range(5):
+        if best is not None and trial >= 3:
+            break  # 3 clean trials are enough; extra rounds only run
+            #        when earlier ones failed the cross-check
         t0 = time.perf_counter()
         for _ in range(reps):
             out, state = magnify_video(frames_dev, cfg, state)
@@ -191,23 +194,30 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
         # Marginal rate (reps vs 2*reps), same method as the headline:
         # cancels the ~30-40 ms constant per-measurement artifact the
         # tunneled runtime adds, which otherwise understates these lines
-        # by 1.5-1.8x (r4 fix).
+        # by 1.5-1.8x (r4 fix).  Same cross-check as the headline: a
+        # trial whose 2x-reps ratio falls outside [1.5, 2.5] failed its
+        # own dispatch-sync validation and is retried (up to 3x).
         out, state = magnify_video(frames_dev, cfg)
         sync(out)
         out, state = magnify_video(frames_dev, cfg, state)
         sync(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out, state = magnify_video(frames_dev, cfg, state)
-        sync(out)
-        dt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(2 * reps):
-            out, state = magnify_video(frames_dev, cfg, state)
-        sync(out)
-        dt2 = time.perf_counter() - t0
         n = frames_dev.shape[0] * reps
-        return n / max(dt2 - dt, 1e-9)
+        fallback = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out, state = magnify_video(frames_dev, cfg, state)
+            sync(out)
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(2 * reps):
+                out, state = magnify_video(frames_dev, cfg, state)
+            sync(out)
+            dt2 = time.perf_counter() - t0
+            if 1.5 <= dt2 / dt <= 2.5:
+                return n / (dt2 - dt)
+            fallback = n / max(dt2 - dt, 1e-9)
+        return fallback  # all retries SUSPECT; best-effort value
 
     # Standard mode through the same fused kernels (polynomial
     # atan2/sincos + procedural w(f)); the reference's second first-class
