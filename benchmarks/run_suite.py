@@ -202,8 +202,21 @@ def main():
     ap.add_argument("--tuned", action="store_true",
                     help="run configs 1-3 in the tuned fused-Pallas TPU "
                          "configuration (the production path on hardware)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the 8-virtual-device CPU platform (this "
+                         "box's sitecustomize pins the tunneled TPU; a "
+                         "config update after import is required, plain "
+                         "env vars are ignored)")
     args = ap.parse_args()
     _TUNED = args.tuned
+    if args.cpu:
+        import os as _o
+        _f = _o.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in _f:
+            _o.environ["XLA_FLAGS"] = (
+                _f + " --xla_force_host_platform_device_count=8").strip()
+        import jax as _j
+        _j.config.update("jax_platforms", "cpu")
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for c in [int(x) for x in args.configs.split(",")]:
         try:

@@ -129,8 +129,20 @@ def post_fused(chans, i_plane, q_plane, win, cfg, rows0: int,
     out_spec = pl.BlockSpec((1, ob, in_w), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
-    def kernel(ca_ref, cb_ref, i_ref, q_ref, w_ref, r_ref, g_ref, b_ref):
-        two = jnp.concatenate([ca_ref[0], cb_ref[0]], axis=0)  # (2*ib, wp)
+    def kernel(ca_ref, cb_ref, i_ref, q_ref, w_ref, r_ref, g_ref, b_ref,
+               sc_ref):
+        # Rolling scratch carry (r4): block j was read as ch_b at step
+        # j-1 and carried in VMEM scratch, so each region row is read
+        # from HBM exactly once per frame (ch_a fetches only block 0,
+        # once per frame — its index map is constant in j).
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            sc_ref[...] = ca_ref[0]
+
+        two = jnp.concatenate([sc_ref[...], cb_ref[0]], axis=0)  # (2*ib, wp)
+        sc_ref[...] = cb_ref[0]  # carry for step j+1
         w128 = two[yoff - e:yoff - e + wv]  # static 8-aligned slice
         # Horizontal taps via lane rolls (wrap-around touches only the
         # pad border columns, > r outside the crop).
@@ -169,6 +181,7 @@ def post_fused(chans, i_plane, q_plane, win, cfg, rows0: int,
         in_specs=[ch_a, ch_b, iq_spec, iq_spec, win_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[pltpu.VMEM((ib, wp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -240,11 +253,19 @@ def post_fused_rgb(chans3, win, cfg, rows0: int,
             vb = vb + hb[e + k2:e + k2 + ob] * taps[k2]
         return pltpu.roll(vb, wp - x0, 1)[:, :in_w]
 
-    def kernel(ya, yb, ia, ib_, qa, qb, w_ref, r_ref, g_ref, b_ref):
+    def kernel(ya, yb, ia, ib_, qa, qb, w_ref, r_ref, g_ref, b_ref,
+               sy, si, sq):
+        # Rolling scratch carries, one per plane (see `post_fused`).
+        j = pl.program_id(1)
         planes = []
-        for pa, pb in ((ya, yb), (ia, ib_), (qa, qb)):
+        for pa, pb, sc in ((ya, yb, sy), (ia, ib_, si), (qa, qb, sq)):
+            @pl.when(j == 0)
+            def _(pa=pa, sc=sc):
+                sc[...] = pa[0]
+
             planes.append(_blur_crop(
-                jnp.concatenate([pa[0], pb[0]], axis=0)))
+                jnp.concatenate([sc[...], pb[0]], axis=0)))
+            sc[...] = pb[0]
         y, iw, qw = planes
         if comp:
             inv = 1.0 / jnp.maximum(w_ref[...], 1e-3)
@@ -266,6 +287,7 @@ def post_fused_rgb(chans3, win, cfg, rows0: int,
         in_specs=in_specs,
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[pltpu.VMEM((ib, wp), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
