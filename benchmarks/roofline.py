@@ -96,16 +96,12 @@ def hot_path_stages(h: int = 1080, w: int = 1920, cfg=None):
             int(hp * wk * 80 + wk * 5 * hp * lg_h),  # ~80 flop/bin phase
         ),
         (
-            "row-IFFT + |z| (fused)",
-            2 * hr * wk * _F,
-            hr * wp * _F,
-            int(hr * 5 * wp * lg_w + 4 * hr * wp),
-        ),
-        (
-            "post: blur+combine+yiq->rgb+crop",
-            (hr * wp + 2 * h * w) * _F,
-            3 * h * w * _F,
-            (4 * taps + 9 + 10) * h * w,
+            "row-IFFT + post (merged, r4)",
+            (2 * hr * wk + 2 * h * w) * _F,  # phase-out rows + I/Q planes
+            3 * h * w * _F,  # R/G/B planes; the reconstruction never
+            #                  exists in HBM (rowifft_post_fused)
+            int(hr * 5 * wp * lg_w + 4 * hr * wp)
+            + (4 * taps + 9 + 10) * h * w,
         ),
     ]
 
@@ -172,7 +168,11 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
     pre_, pim = re2 + 1.0, im2 + 1.0  # stand-in previous spectrum
     rre, rim = phase_col_ifft(re2, im2, pre_, pim, cfg, out_rows=rows,
                               full_w=wp)
-    rec = row_ifft_magnitude(rre, rim, magnitude=True, pad_h=hp, full_w=wp)
+    from pbmm_tpu.core.window import hann2d_region
+    from pbmm_tpu.engine.post_pallas import rowifft_post_fused
+
+    i_plane, q_plane = yiq[1:2], yiq[2:3]  # (1, H, W) each
+    win = hann2d_region(geom)
 
     # (name, fn, args, opaque): opaque=True for Pallas stages — XLA cannot
     # dead-code-eliminate inside a pallas_call, so a 1-element carry tap is
@@ -190,12 +190,11 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
          lambda a, b, c, d: phase_col_ifft(a, b, c, d, cfg, out_rows=rows,
                                            full_w=wp),
          (re2, im2, pre_, pim), True),
-        ("row-IFFT + |z| (fused)",
-         lambda a, b: row_ifft_magnitude(a, b, magnitude=True, pad_h=hp,
-                                         full_w=wp),
+        ("row-IFFT + post (merged, r4)",
+         lambda a, b: rowifft_post_fused(
+             a, b, i_plane, q_plane, win, cfg, rows[0], h, w,
+             cfg.pad_mode, full_w=wp),
          (rre, rim), True),
-        ("post: blur+combine+yiq->rgb+crop",
-         lambda c, y: posttail(c, y, cfg, row0=rows[0]), (rec, yiq), False),
     ]
 
     def timed(stage_fn, args, k, opaque):

@@ -115,7 +115,10 @@ def post_fused(chans, i_plane, q_plane, win, cfg, rows0: int,
 
     grid = (t, in_h // ob)
 
-    ch_a = pl.BlockSpec((1, ib, wp), lambda i, j: (i, j, 0),
+    # ch_a: block 0 only (j-constant index map -> fetched once per frame,
+    # consumed by the j==0 scratch bootstrap); ch_b: block j+1.  With the
+    # rolling scratch, each region block is fetched exactly once.
+    ch_a = pl.BlockSpec((1, ib, wp), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     nb = -(-hr // ib)  # ragged tail block is zero-padded by Pallas
     ch_b = pl.BlockSpec(
@@ -190,6 +193,127 @@ def post_fused(chans, i_plane, q_plane, win, cfg, rows0: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "rows0", "in_h", "in_w",
+                                             "pad_mode", "full_w",
+                                             "interpret"))
+def rowifft_post_fused(rre, rim, i_plane, q_plane, win, cfg, rows0: int,
+                       in_h: int, in_w: int, pad_mode: str,
+                       full_w=None, interpret: bool = False):
+    """(T, Hr, Wk) phase/col-IFFT output rows + (T, H, W) original I/Q
+    planes + (H, W) crop-region Hann -> three (T, H, W) R, G, B planes.
+
+    The r4 deepest fusion on the tail: the row-axis IFFT (Hermitian
+    rebuild + all log2(W) stages + |z|) runs INSIDE the post kernel on
+    each 120-row block as it streams through VMEM — the real
+    reconstruction never exists in HBM (the standalone
+    `row_ifft_magnitude` write + `post_fused` read were 2x9.4 MB/frame).
+    The row transform is perfectly row-local, so the same two-block +
+    rolling-scratch halo scheme as `post_fused` applies, with the
+    scratch carrying the TRANSFORMED |z| rows (each block is inverse-
+    transformed exactly once per frame).
+
+    y_only chroma only (the rgb variant keeps the two-kernel tail);
+    callers must have checked `post_pallas_ok` and the fused path.
+    """
+    from pbmm_tpu.spectral.fused import make_row_ifft_block
+    from pbmm_tpu.spectral.pallas_fft import (
+        _dif_twiddles,
+        _intra_group_matrix,
+    )
+
+    t, hr, wk = rre.shape
+    geom = geometry_for(in_h, in_w, pad_mode)
+    wp = full_w if full_w is not None else wk
+    transform, extra_inputs, extra_specs = make_row_ifft_block(
+        wk, wp, pad_h=geom.pad_h,
+        magnitude=(cfg.reconstruct == "magnitude"),
+    )
+    r = _radius(cfg)
+    taps = [float(v) for v in blur_taps(cfg.blur_size)]
+    ob = _out_block(in_h)
+    yoff = geom.y0 - rows0 - r
+    ib = ob
+    e = yoff % 8
+    wv = -(-(ob + 2 * r + e) // 8) * 8
+    x0 = geom.x0
+    m = YIQ_TO_RGB
+    gains = (tuple(float(g) for g in cfg.yiq_gains)
+             if cfg.apply_yiq_gains else (1.0, 1.0, 1.0))
+    comp = bool(cfg.compensate_window)
+
+    grid = (t, in_h // ob)
+    nb = -(-hr // ib)
+
+    # sp_a: block 0 only (j-constant index map -> fetched once per frame,
+    # consumed by the j==0 scratch bootstrap); sp_b: block j+1 (the one
+    # new block per step).  Total fetch = each block exactly once.
+    sp_a = pl.BlockSpec((1, ib, wk), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    sp_b = pl.BlockSpec(
+        (1, ib, wk),
+        lambda i, j: (i, jnp.minimum(j + 1, nb - 1), 0),
+        memory_space=pltpu.VMEM)
+    iq_spec = pl.BlockSpec((1, ob, in_w), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    win_spec = pl.BlockSpec((ob, in_w), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ob, in_w), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(ra, ia_, rb, ib2, i_ref, q_ref, w_ref, *rest):
+        extra_refs = rest[:len(extra_inputs)]
+        r_ref, g_ref, b_ref, sc_ref = rest[len(extra_inputs):]
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            sc_ref[...] = transform(ra[0], ia_[0], extra_refs)
+
+        new_mag = transform(rb[0], ib2[0], extra_refs)
+        two = jnp.concatenate([sc_ref[...], new_mag], axis=0)
+        sc_ref[...] = new_mag
+        w128 = two[yoff - e:yoff - e + wv]
+        hb = w128 * taps[r]
+        for k2 in range(1, r + 1):
+            hb = hb + (pltpu.roll(w128, k2, 1) * taps[r - k2]
+                       + pltpu.roll(w128, wp - k2, 1) * taps[r + k2])
+        vb = hb[e:e + ob] * taps[0]
+        for k2 in range(1, 2 * r + 1):
+            vb = vb + hb[e + k2:e + k2 + ob] * taps[k2]
+        y = pltpu.roll(vb, wp - x0, 1)[:, :in_w]
+
+        wn = w_ref[...]
+        iw = i_ref[0] * wn
+        qw = q_ref[0] * wn
+        if comp:
+            inv = 1.0 / jnp.maximum(wn, 1e-3)
+            y = y * inv
+            iw = iw * inv
+            qw = qw * inv
+        y = y * jnp.float32(gains[0])
+        iw = iw * jnp.float32(gains[1])
+        qw = qw * jnp.float32(gains[2])
+        for d, o_ref in enumerate((r_ref, g_ref, b_ref)):
+            o_ref[0] = jnp.clip(
+                y * float(m[d, 0]) + iw * float(m[d, 1])
+                + qw * float(m[d, 2]), 0.0, 1.0)
+
+    out_shape = jax.ShapeDtypeStruct((t, in_h, in_w), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[sp_a, sp_a, sp_b, sp_b, iq_spec, iq_spec, win_spec]
+        + list(extra_specs),
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[pltpu.VMEM((ib, wp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(rre, rim, rre, rim, i_plane, q_plane, win, *extra_inputs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rows0", "in_h", "in_w",
                                              "pad_mode", "interpret"))
 def post_fused_rgb(chans3, win, cfg, rows0: int,
                    in_h: int, in_w: int, pad_mode: str,
@@ -225,7 +349,9 @@ def post_fused_rgb(chans3, win, cfg, rows0: int,
     nb = -(-hr // ib)  # ragged tail block is zero-padded by Pallas
 
     def plane_specs(c):
-        a = pl.BlockSpec((1, ib, wp), lambda i, j, c=c: (3 * i + c, j, 0),
+        # a: block 0 only (j-constant -> one fetch per plane per frame,
+        # the scratch bootstrap); b: block j+1 (one new block per step).
+        a = pl.BlockSpec((1, ib, wp), lambda i, j, c=c: (3 * i + c, 0, 0),
                          memory_space=pltpu.VMEM)
         b = pl.BlockSpec(
             (1, ib, wp),

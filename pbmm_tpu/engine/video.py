@@ -139,10 +139,9 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
     For y_only chroma the pre/post stages run transpose-free: channels-
     last Y/I/Q extraction (`preprocess_cl`) and the fused Pallas post
     kernel (`engine.post_pallas`) when the geometry qualifies."""
-    from pbmm_tpu.core.window import geometry_for, hann2d_region
+    from pbmm_tpu.core.window import geometry_for
     from pbmm_tpu.engine.pipeline import blur_row_window, preprocess_cl
-    from pbmm_tpu.engine.post_pallas import post_fused, post_pallas_ok
-    from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
+    from pbmm_tpu.spectral.fused import phase_col_ifft
 
     t = frames.shape[0]
     h, w = frames.shape[-3], frames.shape[-2]
@@ -159,17 +158,39 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
             full_w=geom.pad_w, pair_offset=c,
             interpret=cfg.interpret_pallas,
         )
-        rec = row_ifft_magnitude(
-            rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
-            pad_h=geom.pad_h, full_w=geom.pad_w,
-            interpret=cfg.interpret_pallas,
-        )
-    outs = _post_block(rec, i_plane, q_plane, cfg, geom, rows, t, h, w)
+        outs = _tail_block(rre, rim, i_plane, q_plane, cfg, geom, rows,
+                           t, h, w)
     new_state = VideoState(
         sre[-c:], sim[-c:], state.prev_frame,
         state.temporal, state.frame_idx + jnp.int32(t),
     )
     return outs, new_state
+
+
+def _tail_block(rre, rim, i_plane, q_plane, cfg, geom, rows, t, h, w):
+    """Pipeline tail from the phase/col-IFFT outputs to RGB frames: the
+    merged row-IFFT+post kernel where it serves (y_only + fused post
+    geometry — the real reconstruction never exists in HBM, r4), else
+    the two-kernel row-IFFT -> post chain."""
+    from pbmm_tpu.core.window import hann2d_region
+    from pbmm_tpu.engine.post_pallas import post_pallas_ok, rowifft_post_fused
+    from pbmm_tpu.spectral.fused import row_ifft_magnitude
+
+    hr = rows[1] - rows[0]
+    if cfg.chroma != "rgb" and post_pallas_ok(geom, cfg, rows[0], hr):
+        win = hann2d_region(geom)
+        rp, gp, bp = rowifft_post_fused(
+            rre, rim, i_plane, q_plane, win, cfg, rows[0], h, w,
+            cfg.pad_mode, full_w=geom.pad_w,
+            interpret=cfg.interpret_pallas,
+        )
+        return jnp.stack([rp, gp, bp], axis=-1)
+    rec = row_ifft_magnitude(
+        rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
+        pad_h=geom.pad_h, full_w=geom.pad_w,
+        interpret=cfg.interpret_pallas,
+    )
+    return _post_block(rec, i_plane, q_plane, cfg, geom, rows, t, h, w)
 
 
 def _batched_iir_ok(cfg: MagnifyConfig, frame_shape) -> bool:
@@ -232,13 +253,9 @@ def _chunk_batched_iir(frames, state: VideoState, cfg: MagnifyConfig):
     hr = rows[1] - rows[0]
     wk = rres.shape[-1]
     with jax.named_scope("pbmm.phase_ifft_fused"):
-        rec = row_ifft_magnitude(
+        outs = _tail_block(
             rres.reshape((t * c, hr, wk)), rims.reshape((t * c, hr, wk)),
-            magnitude=(cfg.reconstruct == "magnitude"),
-            pad_h=geom.pad_h, full_w=geom.pad_w,
-            interpret=cfg.interpret_pallas,
-        )
-    outs = _post_block(rec, i_plane, q_plane, cfg, geom, rows, t, h, w)
+            i_plane, q_plane, cfg, geom, rows, t, h, w)
     new_state = VideoState(
         sre[-c:], sim[-c:], state.prev_frame,
         TemporalState(nlpf, nlps),

@@ -762,6 +762,57 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
     return res  # (re, im) or (re, im, new_lp_fast, new_lp_slow)
 
 
+def _rebuild_kept_lanes(xr, xi, j_ref, plan):
+    """Kept-lane (Hb, Wk) -> full (Hb, fw) via the static plan.
+    Consecutive verbatim-copy tiles merge into single big slices; only
+    the conj-reversed tiles go through the J matmul (a permutation
+    matrix: exact at any precision that keeps f32 values intact)."""
+    jm = j_ref[...].astype(jnp.bfloat16)  # 0/1: exact in bf16
+    raw = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+    def dot(x, _jm):
+        # x @ J in 3 one-pass bf16 dots (vs HIGHEST's 6): x = h1 +
+        # h2 + h3 with each h_k = bf16 of the running residual
+        # (8+8+8 bits covers the f32 mantissa), and J's 0/1 entries
+        # make every product and the accumulation exact — each
+        # output lane is a single x value.  Exactness bound: the
+        # third residual flushes when |x| drops below bf16's normal
+        # range (~1e-38), leaving an absolute error ~1e-38 there —
+        # vacuous for real spectra (advisor r3).
+        h1 = x.astype(jnp.bfloat16)
+        r1 = x - h1.astype(jnp.float32)
+        h2 = r1.astype(jnp.bfloat16)
+        h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+        return raw(h1, _jm) + raw(h2, _jm) + raw(h3, _jm)
+
+    outs_r, outs_i = [], []
+    i = 0
+    while i < len(plan):
+        kp, rev = plan[i]
+        if not rev:
+            j = i
+            while (j + 1 < len(plan) and not plan[j + 1][1]
+                   and plan[j + 1][0] == plan[j][0] + 1):
+                j += 1
+            lo, hi = plan[i][0] * 128, (plan[j][0] + 1) * 128
+            outs_r.append(xr[:, lo:hi])
+            outs_i.append(xi[:, lo:hi])
+            i = j + 1
+        else:
+            tr = xr[:, kp * 128:(kp + 1) * 128]
+            ti = xi[:, kp * 128:(kp + 1) * 128]
+            outs_r.append(dot(tr, jm))
+            outs_i.append(-dot(ti, jm))
+            i += 1
+    return (jnp.concatenate(outs_r, axis=1),
+            jnp.concatenate(outs_i, axis=1))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("magnitude", "pad_h", "full_w",
                                     "interpret"))
@@ -801,60 +852,11 @@ def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
     gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
 
-    def _rebuild(xr, xi, j_ref):
-        """Kept-lane (Hb, Wk) -> full (Hb, fw) via the static plan.
-        Consecutive verbatim-copy tiles merge into single big slices; only
-        the conj-reversed tiles go through the J matmul (a permutation
-        matrix: exact at any precision that keeps f32 values intact)."""
-        jm = j_ref[...].astype(jnp.bfloat16)  # 0/1: exact in bf16
-        raw = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        )
-
-        def dot(x, _jm):
-            # x @ J in 3 one-pass bf16 dots (vs HIGHEST's 6): x = h1 +
-            # h2 + h3 with each h_k = bf16 of the running residual
-            # (8+8+8 bits covers the f32 mantissa), and J's 0/1 entries
-            # make every product and the accumulation exact — each
-            # output lane is a single x value.  Exactness bound: the
-            # third residual flushes when |x| drops below bf16's normal
-            # range (~1e-38), leaving an absolute error ~1e-38 there —
-            # vacuous for real spectra (advisor r3).
-            h1 = x.astype(jnp.bfloat16)
-            r1 = x - h1.astype(jnp.float32)
-            h2 = r1.astype(jnp.bfloat16)
-            h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
-            return raw(h1, _jm) + raw(h2, _jm) + raw(h3, _jm)
-        outs_r, outs_i = [], []
-        i = 0
-        while i < len(plan):
-            kp, rev = plan[i]
-            if not rev:
-                j = i
-                while (j + 1 < len(plan) and not plan[j + 1][1]
-                       and plan[j + 1][0] == plan[j][0] + 1):
-                    j += 1
-                lo, hi = plan[i][0] * 128, (plan[j][0] + 1) * 128
-                outs_r.append(xr[:, lo:hi])
-                outs_i.append(xi[:, lo:hi])
-                i = j + 1
-            else:
-                tr = xr[:, kp * 128:(kp + 1) * 128]
-                ti = xi[:, kp * 128:(kp + 1) * 128]
-                outs_r.append(dot(tr, jm))
-                outs_i.append(-dot(ti, jm))
-                i += 1
-        return (jnp.concatenate(outs_r, axis=1),
-                jnp.concatenate(outs_i, axis=1))
-
     def kernel(*refs):
         if plan is not None:
             re_ref, im_ref, j_ref, twr_ref, twi_ref, gr_ref, gi_ref, \
                 out_ref = refs
-            xr, xi = _rebuild(re_ref[0], im_ref[0], j_ref)
+            xr, xi = _rebuild_kept_lanes(re_ref[0], im_ref[0], j_ref, plan)
         else:
             re_ref, im_ref, twr_ref, twi_ref, gr_ref, gi_ref, out_ref = refs
             xr, xi = re_ref[0], im_ref[0]
@@ -883,6 +885,54 @@ def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
         ),
         interpret=interpret,
     )(*inputs)
+
+
+def make_row_ifft_block(wk: int, full_w: int, pad_h: int,
+                        magnitude: bool = True):
+    """Factory for embedding the row-axis IFFT (+Hermitian rebuild, +|z|)
+    inside ANOTHER Pallas kernel's body (the r4 row-IFFT/post fusion,
+    `engine.post_pallas.rowifft_post_fused`).
+
+    Returns (transform, extra_inputs, extra_specs):
+      transform(re_block, im_block, extra_refs) -> real (rows, full_w)
+        block — the same math as `row_ifft_magnitude`'s kernel body;
+      extra_inputs: host-constant arrays (J matrix when the input is the
+        kept Hermitian-half layout, twiddle tables, group matrices) the
+        caller appends to its pallas_call operands;
+      extra_specs: matching grid-constant BlockSpecs for a 2D (i, j) grid.
+    """
+    fw = full_w
+    twr_np, twi_np = _dif_twiddles(fw, True)
+    gr_np, gi_np = _intra_group_matrix(fw, True)
+    stages = twr_np.shape[0]
+    scale = 1.0 / (pad_h * fw)
+    plan = reconstruction_plan(fw) if fw != wk else None
+    tw_spec = pl.BlockSpec((stages, fw), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    extra_inputs = []
+    extra_specs = []
+    if plan is not None:
+        extra_inputs.append(jnp.asarray(reversal_matrix()))
+        extra_specs.append(gm_spec)
+    extra_inputs += [jnp.asarray(twr_np), jnp.asarray(twi_np),
+                     jnp.asarray(gr_np), jnp.asarray(gi_np)]
+    extra_specs += [tw_spec, tw_spec, gm_spec, gm_spec]
+
+    def transform(xr, xi, extra_refs):
+        if plan is not None:
+            j_ref, twr_ref, twi_ref, gr_ref, gi_ref = extra_refs
+            xr, xi = _rebuild_kept_lanes(xr, xi, j_ref, plan)
+        else:
+            twr_ref, twi_ref, gr_ref, gi_ref = extra_refs
+        rr, ii = _fft_stages(xr, xi, fw, 1, True, twr_ref, twi_ref,
+                             gm=(gr_ref[...], gi_ref[...]))
+        if magnitude:
+            return jnp.sqrt(rr * rr + ii * ii) * scale
+        return rr * scale
+
+    return transform, extra_inputs, extra_specs
 
 
 def fused_eligible(cfg) -> bool:

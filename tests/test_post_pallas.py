@@ -64,6 +64,29 @@ def test_post_pallas_rejects_no_halo():
     assert not post_pallas_ok(g2, cfg, 0, 256)
 
 
+def test_merged_rowifft_post_end_to_end_384():
+    # The r4 merged row-IFFT+post kernel (`rowifft_post_fused`): the real
+    # reconstruction never exists in HBM.  384px is the smallest
+    # geometry where the fused post serves (pad 512, full blur halo,
+    # in_w % 128 == 0), so this drives the merged tail through
+    # magnify_video end-to-end vs the generic XLA pipeline.
+    from pbmm_tpu.engine.video import _batched_ok, magnify_video
+    from pbmm_tpu.oracle.synthetic import oscillating_bar
+    from pbmm_tpu.utils.metrics import psnr
+
+    cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
+                        use_fused_spectral=True, use_hermitian_spectral=True,
+                        interpret_pallas=True)
+    geom = geometry_for(384, 384, cfg.pad_mode)
+    rows = blur_row_window(geom, cfg)
+    assert post_pallas_ok(geom, cfg, rows[0], rows[1] - rows[0])
+    frames = oscillating_bar(size=384, frames=4, bar_width=3)
+    assert _batched_ok(cfg, frames.shape)
+    out_t, _ = magnify_video(frames, cfg)
+    out_g, _ = magnify_video(frames, MagnifyConfig())
+    assert psnr(np.asarray(out_t), np.asarray(out_g)) > 80.0
+
+
 def test_post_fused_rgb_matches_posttail():
     # The r4 chroma="rgb" post kernel: all three planes blurred/cropped
     # in one pass vs the XLA posttail rgb branch.
