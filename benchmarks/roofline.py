@@ -91,7 +91,10 @@ def hot_path_stages(h: int = 1080, w: int = 1920, cfg=None):
         ),
         (
             "phase pass + col-IFFT (fused)",
-            4 * hp * wk * _F,  # cur + prev spectra, re/im
+            # Grouped pair stream (G=4, r4): interior planes serve as both
+            # cur and prev within one grid step, so reads are (G+1)/G
+            # plane-pairs per frame instead of 2.
+            int(2.5 * hp * wk) * _F,
             2 * hr * wk * _F,
             int(hp * wk * 80 + wk * 5 * hp * lg_h),  # ~80 flop/bin phase
         ),

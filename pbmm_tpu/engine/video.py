@@ -153,11 +153,22 @@ def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
     flat_re = jnp.concatenate([state.prev_spec_re, sre], axis=0)
     flat_im = jnp.concatenate([state.prev_spec_im, sim], axis=0)
     with jax.named_scope("pbmm.phase_ifft_fused"):
-        rre, rim = phase_col_ifft(
-            flat_re, flat_im, None, None, cfg, out_rows=rows,
-            full_w=geom.pad_w, pair_offset=c,
-            interpret=cfg.interpret_pallas,
-        )
+        if (t * c) % 4 == 0:
+            # Grouped stream: 4 frames per grid step, interior planes
+            # fetched once per step (~25% fewer spectra reads).
+            from pbmm_tpu.spectral.fused import phase_col_ifft_grouped
+
+            rre, rim = phase_col_ifft_grouped(
+                flat_re, flat_im, cfg, out_rows=rows,
+                full_w=geom.pad_w, planes=c, group=4,
+                interpret=cfg.interpret_pallas,
+            )
+        else:
+            rre, rim = phase_col_ifft(
+                flat_re, flat_im, None, None, cfg, out_rows=rows,
+                full_w=geom.pad_w, pair_offset=c,
+                interpret=cfg.interpret_pallas,
+            )
         outs = _tail_block(rre, rim, i_plane, q_plane, cfg, geom, rows,
                            t, h, w)
     new_state = VideoState(
@@ -221,7 +232,7 @@ def _chunk_batched_iir(frames, state: VideoState, cfg: MagnifyConfig):
     around the one stage whose math is inherently sequential."""
     from pbmm_tpu.core.window import geometry_for
     from pbmm_tpu.engine.pipeline import blur_row_window, preprocess_cl
-    from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
+    from pbmm_tpu.spectral.fused import phase_col_ifft_at
 
     t = frames.shape[0]
     h, w = frames.shape[-3], frames.shape[-2]
@@ -235,13 +246,11 @@ def _chunk_batched_iir(frames, state: VideoState, cfg: MagnifyConfig):
 
     def step(carry, i):
         lpf, lps = carry
-        cur_re = jax.lax.dynamic_slice_in_dim(all_re, (i + 1) * c, c)
-        cur_im = jax.lax.dynamic_slice_in_dim(all_im, (i + 1) * c, c)
-        prev_re = jax.lax.dynamic_slice_in_dim(all_re, i * c, c)
-        prev_im = jax.lax.dynamic_slice_in_dim(all_im, i * c, c)
-        rre, rim, nlpf, nlps = phase_col_ifft(
-            cur_re, cur_im, prev_re, prev_im, cfg, out_rows=rows,
-            full_w=geom.pad_w, lp_fast=lpf, lp_slow=lps,
+        # The kernel addresses frame i's planes in the chunk stream via
+        # a scalar-prefetch index map — no dynamic-slice copies.
+        rre, rim, nlpf, nlps = phase_col_ifft_at(
+            all_re, all_im, lpf, lps, i, cfg, out_rows=rows,
+            full_w=geom.pad_w, planes=c,
             interpret=cfg.interpret_pallas,
         )
         return (nlpf, nlps), (rre, rim)

@@ -887,6 +887,199 @@ def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
     )(*inputs)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "out_rows", "full_w", "planes",
+                                    "group", "interpret"))
+def phase_col_ifft_grouped(all_re, all_im, cfg, out_rows=None, full_w=None,
+                           planes: int = 1, group: int = 4,
+                           interpret: bool = False):
+    """Grouped frame-pair streaming (r4): each grid step processes G
+    consecutive frames of the pair stream, reading G+c plane blocks and
+    writing G — the shared interior planes (each frame's spectrum is both
+    a `cur` and the next frame's `prev`) are fetched ONCE per step instead
+    of once per role, cutting the stream's spectra reads from 2 to
+    (G+c)/G per frame (~25% fewer kernel bytes at G=4, c=1).
+
+    Two-frame mode only (the IIR carry is sequential); `all_re/all_im`
+    hold (T*c + c, H, Wk) planes as in `phase_col_ifft(pair_offset=c)`,
+    and T*c must be divisible by G.  Returns (re, im) of (T*c, rows, Wk).
+    """
+    n, h, w = all_re.shape
+    c = planes
+    b = n - c  # output planes
+    g = group
+    assert b % g == 0
+    r0, r1 = out_rows if out_rows is not None else (0, h)
+    twr_np, twi_np = _dif_twiddles(h, True)
+    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    gr_np, gi_np = _intra_group_matrix(h, True)
+    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
+    stages = twr_np.shape[0]
+    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]
+    if full_w is not None and full_w != w:
+        fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
+        fx = jnp.asarray(fx_np)[None, :]
+    else:
+        fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
+
+    block_w = min(_LANE_BLOCK, w)
+    grid = (b // g, pl.cdiv(w, block_w))
+    n_in = g + c  # plane blocks touched per step
+
+    def plane_spec(k):
+        return pl.BlockSpec((1, h, block_w),
+                            lambda i, j, k=k: (i * g + k, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    fy_spec = pl.BlockSpec((h, 1), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    fx_spec = pl.BlockSpec((1, block_w), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, h), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, r1 - r0, block_w),
+                            lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        res = refs[:n_in]
+        ims = refs[n_in:2 * n_in]
+        fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref = \
+            refs[2 * n_in:2 * n_in + 6]
+        ore, oim = refs[-2:]
+        for k in range(g):  # static unroll: G phase+IFFT chains
+            mr, mi = _phase_block(
+                res[k + c][0], ims[k + c][0], res[k][0], ims[k][0],
+                fy_ref[:], fx_ref[:], cfg,
+            )
+            rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
+                                 gm=(gr_ref[...], gi_ref[...]))
+            ore[k] = rr[r0:r1]
+            oim[k] = ii[r0:r1]
+
+    in_specs = ([plane_spec(k) for k in range(n_in)] * 2
+                + [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec])
+    inputs = ([all_re] * n_in + [all_im] * n_in
+              + [fy, fx, twr, twi, gr, gi])
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "out_rows", "full_w", "planes",
+                                    "interpret"))
+def phase_col_ifft_at(all_re, all_im, lp_fast, lp_slow, idx, cfg,
+                      out_rows=None, full_w=None, planes: int = 1,
+                      interpret: bool = False):
+    """IIR phase pass + column IFFT for ONE frame of a chunk-wide plane
+    stream, addressed by a TRACED frame index (r4, for the hybrid IIR
+    engine's `lax.scan`): the kernel reads frame `idx`'s planes (cur =
+    planes idx*c+c.., prev = idx*c..) straight from the (n, H, Wk) chunk
+    arrays via scalar-prefetch index maps — the four per-step
+    `dynamic_slice` copies (~37 MB/frame at 1080p) never happen.
+
+    Same math as `phase_col_ifft`'s IIR branch; `planes` = c planes per
+    frame (3 for chroma="rgb").  Returns (re, im, new_lp_fast,
+    new_lp_slow) with leading dim c."""
+    n, h, w = all_re.shape
+    c = planes
+    r0, r1 = out_rows if out_rows is not None else (0, h)
+    twr_np, twi_np = _dif_twiddles(h, True)
+    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    gr_np, gi_np = _intra_group_matrix(h, True)
+    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
+    stages = twr_np.shape[0]
+    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]
+    if full_w is not None and full_w != w:
+        fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
+        fx = jnp.asarray(fx_np)[None, :]
+    else:
+        fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
+
+    block_w = min(_LANE_BLOCK, w)
+    grid = (c, pl.cdiv(w, block_w))
+
+    # Index-map signature in this JAX version: (*grid_indices,
+    # *scalar_prefetch_refs).
+    def cur_map(i, j, s):
+        return (s[0] * c + c + i, 0, j)
+
+    def prev_map(i, j, s):
+        return (s[0] * c + i, 0, j)
+
+    cur_spec = pl.BlockSpec((1, h, block_w), cur_map,
+                            memory_space=pltpu.VMEM)
+    prev_spec = pl.BlockSpec((1, h, block_w), prev_map,
+                             memory_space=pltpu.VMEM)
+    lp_spec = pl.BlockSpec((1, h, block_w), lambda i, j, s: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    fy_spec = pl.BlockSpec((h, 1), lambda i, j, s: (0, 0),
+                           memory_space=pltpu.VMEM)
+    fx_spec = pl.BlockSpec((1, block_w), lambda i, j, s: (0, j),
+                           memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, h), lambda i, j, s: (0, 0),
+                           memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda i, j, s: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, r1 - r0, block_w),
+                            lambda i, j, s: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(s_ref, cr_ref, ci_ref, pr_ref, pi_ref, lpf_ref, lps_ref,
+               fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
+               ore, oim, olpf, olps):
+        mr, mi, nlpf, nlps = _phase_block(
+            cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
+            fy_ref[:], fx_ref[:], cfg,
+            lpf=lpf_ref[0], lps=lps_ref[0],
+        )
+        olpf[0] = nlpf
+        olps[0] = nlps
+        rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
+                             gm=(gr_ref[...], gi_ref[...]))
+        ore[0] = rr[r0:r1]
+        oim[0] = ii[r0:r1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[cur_spec, cur_spec, prev_spec, prev_spec,
+                  lp_spec, lp_spec, fy_spec, fx_spec,
+                  tw_spec, tw_spec, gm_spec, gm_spec],
+        out_specs=(out_spec, out_spec, lp_spec, lp_spec),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((c, r1 - r0, w), jnp.float32),
+            jax.ShapeDtypeStruct((c, r1 - r0, w), jnp.float32),
+            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape((1,)),
+      all_re, all_im, all_re, all_im, lp_fast, lp_slow,
+      fy, fx, twr, twi, gr, gi)
+
+
 def make_row_ifft_block(wk: int, full_w: int, pad_h: int,
                         magnitude: bool = True):
     """Factory for embedding the row-axis IFFT (+Hermitian rebuild, +|z|)

@@ -91,7 +91,10 @@ def test_roofline_analytic_model():
 
     cfg = MagnifyConfig().tuned_for_tpu()
     stages = hot_path_stages(1080, 1920, cfg)
-    assert len(stages) == 6
+    # 5 stages since the r4 row-IFFT/post merge (the reconstruction
+    # never exists in HBM).
+    assert len(stages) == 5
+    assert "merged" in stages[4][0]
     assert all(bi > 0 and bo > 0 and fl > 0 for _, bi, bo, fl in stages)
 
     from pbmm_tpu.spectral.hermitian import hermitian_kept_width
@@ -102,11 +105,12 @@ def test_roofline_analytic_model():
     assert wk == 1152
     name, bi, bo, _ = stages[3]
     assert "phase" in name
-    assert bi == 4 * geom.pad_h * wk * 4
+    # Grouped pair stream (G=4): (G+1)/G plane-pairs read per frame.
+    assert bi == int(2.5 * geom.pad_h * wk) * 4
     assert bo == 2 * (b1 - b0) * wk * 4
 
     # full-width config: the same stage reads full spectra
     full_cfg = cfg.replace(use_hermitian_spectral=False)
     _, bi_f, bo_f, _ = hot_path_stages(1080, 1920, full_cfg)[3]
-    assert bi_f == 4 * geom.pad_h * geom.pad_w * 4
+    assert bi_f == int(2.5 * geom.pad_h * geom.pad_w) * 4
     assert bo_f == 2 * (b1 - b0) * geom.pad_w * 4
