@@ -137,6 +137,7 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
         aligned_row_window,
         col_fft_zero_padded,
         phase_col_ifft,
+        phase_col_ifft_grouped,
         row_ifft_magnitude,
         windowed_row_fft,
     )
@@ -169,6 +170,14 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
     re1, im1 = windowed_row_fft(slab, pad_h=hp, row0=r0, keep_half=keep)
     re2, im2 = col_fft_zero_padded(re1, im1, pad_h=hp, row0=r0)
     pre_, pim = re2 + 1.0, im2 + 1.0  # stand-in previous spectrum
+    import jax.numpy as _jnp
+
+    # 5-plane pair stream (4 frames + 1 carried prev) for the grouped
+    # phase kernel; its stage time below is divided by 4.
+    stream_re = _jnp.concatenate(
+        [pre_[0:1]] + [re2 + 0.1 * k for k in range(4)], axis=0)
+    stream_im = _jnp.concatenate(
+        [pim[0:1]] + [im2 + 0.1 * k for k in range(4)], axis=0)
     rre, rim = phase_col_ifft(re2, im2, pre_, pim, cfg, out_rows=rows,
                               full_w=wp)
     from pbmm_tpu.core.window import hann2d_region
@@ -189,10 +198,12 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
         ("fwd col-FFT (zero-embed fused)",
          lambda a, b: col_fft_zero_padded(a, b, pad_h=hp, row0=r0),
          (re1, im1), True),
+        # Timed as the production GROUPED stream (4 frames/step) over a
+        # 5-plane stream, divided by 4 below via the per4 flag.
         ("phase pass + col-IFFT (fused)",
-         lambda a, b, c, d: phase_col_ifft(a, b, c, d, cfg, out_rows=rows,
-                                           full_w=wp),
-         (re2, im2, pre_, pim), True),
+         lambda a, b: phase_col_ifft_grouped(a, b, cfg, out_rows=rows,
+                                             full_w=wp, planes=1, group=4),
+         (stream_re, stream_im), True),
         ("row-IFFT + post (merged, r4)",
          lambda a, b: rowifft_post_fused(
              a, b, i_plane, q_plane, win, cfg, rows[0], h, w,
@@ -236,6 +247,8 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
     for name, fn, args, opaque in stages:
         walls = [timed(fn, args, k, opaque) for k in ks]
         slope = np.polyfit(ks, walls, 1)[0]
+        if "phase" in name:
+            slope /= 4.0  # the grouped call processes 4 frames
         results.append((name, max(slope, 1e-9)))
     return results
 

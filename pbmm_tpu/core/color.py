@@ -17,6 +17,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+def unit_float(x: jnp.ndarray) -> jnp.ndarray:
+    """Frames to f32 in [0, 1]: uint8 inputs are scaled by 1/255 (real
+    video is 8-bit; keeping frames uint8 until they reach the device
+    quarters host->device transfer in the streaming drivers, r4), other
+    dtypes are cast as-is (the original [0, 1] f32 contract)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return x.astype(jnp.float32)
+
+
 # Rows: Y, I, Q.  `RGBToYIQ.shader:46-50`.
 RGB_TO_YIQ = np.array(
     [

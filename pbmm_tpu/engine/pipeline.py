@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pbmm_tpu.config import MagnifyConfig
-from pbmm_tpu.core.color import rgb_to_yiq, yiq_to_rgb
+from pbmm_tpu.core.color import rgb_to_yiq, unit_float, yiq_to_rgb
 from pbmm_tpu.core.window import (
     Geometry,
     blur_then_crop,
@@ -98,7 +98,7 @@ def preprocess(
     """
     with jax.named_scope("pbmm.preprocess"):
         geom = _geometry(frame_rgb.shape, cfg)
-        rgb_cf = jnp.moveaxis(frame_rgb.astype(jnp.float32), -1, -3)
+        rgb_cf = jnp.moveaxis(unit_float(frame_rgb), -1, -3)
         yiq = rgb_to_yiq(rgb_cf, axis=-3)  # (..., 3, H, W)
         if cfg.chroma == "rgb":
             chans_small = yiq
@@ -188,7 +188,7 @@ def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig):
     keep = hermitian_active(cfg, geom)
     r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
     with jax.named_scope("pbmm.preprocess"):
-        f = frames.astype(jnp.float32)
+        f = unit_float(frames)
         m = RGB_TO_YIQ
         planes = [
             f[..., 0] * float(m[d, 0]) + f[..., 1] * float(m[d, 1])
@@ -497,7 +497,7 @@ def magnify_frame_pair(
     """
     if not cfg.apply_motion_magnification:
         # Reference bypass (`MotionMagnificationProcessor.cs:126-139`).
-        return cur_rgb.astype(jnp.float32)
+        return unit_float(cur_rgb)
     cur_spec, cur_yiq = preprocess(cur_rgb, cfg)
     prev_spec, _ = preprocess(prev_rgb, cfg)
     if fused_reconstruct_ok(cfg, cur_spec.shape) \

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from pbmm_tpu.config import MagnifyConfig
+from pbmm_tpu.core.color import unit_float
 from pbmm_tpu.core.complexop import combine
 from pbmm_tpu.engine.pipeline import (
     amplify_reconstruct_fused,
@@ -57,7 +58,7 @@ def video_init(first_frame: jnp.ndarray, cfg: MagnifyConfig) -> VideoState:
         pframe = jnp.zeros((0, 0, 0), jnp.float32)
     else:
         sre = sim = jnp.zeros((0, 0, 0), jnp.float32)
-        pframe = first_frame.astype(jnp.float32)
+        pframe = unit_float(first_frame)
     tstate = temporal_init(spec.shape, cfg.temporal)
     return VideoState(sre, sim, pframe, tstate, jnp.int32(1))
 
@@ -103,7 +104,7 @@ def video_step(
         pframe = state.prev_frame
     else:
         sre, sim = state.prev_spec_re, state.prev_spec_im
-        pframe = frame.astype(jnp.float32)
+        pframe = unit_float(frame)
     new_state = VideoState(
         sre, sim, pframe, new_temporal, state.frame_idx + 1
     )
@@ -352,7 +353,7 @@ def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _magnify_bootstrap(frames, cfg: MagnifyConfig):
     state = video_init(frames[0], cfg)
-    first_out = frames[0].astype(jnp.float32)[None]
+    first_out = unit_float(frames[0])[None]
     outs, final_state = _magnify_chunk(frames[1:], state, cfg)
     return jnp.concatenate([first_out, outs], axis=0), final_state
 
@@ -386,7 +387,7 @@ def magnify_video(
             new_state = new_state._replace(
                 frame_idx=state.frame_idx + jnp.int32(frames.shape[0])
             )
-        return frames.astype(jnp.float32), new_state
+        return unit_float(frames), new_state
     if state is None:
         return _magnify_bootstrap(frames, cfg)
     return _magnify_chunk(frames, state, cfg)

@@ -42,10 +42,15 @@ def _chunks_memmap_npy(path: str, chunk_frames: int) -> Iterator[np.ndarray]:
     """Chunk a .npy file through a memmap: only one chunk of pixel data is
     resident at a time (the `--stream` flat-memory contract)."""
     mm = np.load(path, mmap_mode="r")
-    scale = np.float32(1.0 / 255.0) if mm.dtype == np.uint8 else None
     for i in range(0, mm.shape[0], chunk_frames):
         chunk = np.asarray(mm[i:i + chunk_frames])
-        yield chunk * scale if scale is not None else chunk.astype(np.float32)
+        # uint8 passes through untouched (r4): `magnify_video` scales by
+        # 1/255 ON DEVICE (`core.color.unit_float`), so 8-bit sources
+        # cross host->device at a quarter of the f32 bytes.
+        if chunk.dtype == np.uint8:
+            yield chunk
+        else:
+            yield chunk.astype(np.float32)
 
 
 def _chunks_whole(path: str, chunk_frames: int) -> Iterator[np.ndarray]:

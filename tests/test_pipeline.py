@@ -148,6 +148,21 @@ class TestVideoParity:
         with _pytest.raises(ValueError):
             MagnifyConfig(engine="warp")
 
+    def test_uint8_ingestion(self):
+        # 8-bit frames are first-class (r4): scaled by 1/255 on device
+        # (`core.color.unit_float`), quartering host->device transfer for
+        # real video sources.  Equivalent to pre-scaled f32 to fp
+        # rounding; frame-0 passthrough and bypass emit [0,1] f32.
+        f_u8 = np.round(FRAMES * 255).astype(np.uint8)
+        out_u8, _ = magnify_video(f_u8, MagnifyConfig())
+        out_f32, _ = magnify_video(f_u8.astype(np.float32) / 255.0,
+                                   MagnifyConfig())
+        assert np.asarray(out_u8).dtype == np.float32
+        assert psnr(np.asarray(out_u8), np.asarray(out_f32)) > 100.0
+        byp, _ = magnify_video(
+            f_u8, MagnifyConfig(apply_motion_magnification=False))
+        assert float(np.asarray(byp).max()) <= 1.0 + 1e-5
+
     def test_chroma_rgb_batched_engine(self):
         # The r4 chroma="rgb" channels-last fast path: all three YIQ
         # planes FFT-bound through the pair-offset stream (plane-minor
