@@ -115,6 +115,21 @@ class TestVideoSpatial:
         want, _ = magnify_video(frames, MagnifyConfig(use_rfft=False))
         assert psnr(out, np.asarray(want)) > 70.0
 
+    def test_video_pallas_steerable_match_unsharded(self):
+        """Steerable orientations through the spatial engine (r4: the
+        per-shard Pallas kernels and the XLA fallback both carry the
+        sector windows at the shard's global frequencies)."""
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=4, bar_width=2)
+        cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
+                            orientations=4, interpret_pallas=True)
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        want, _ = magnify_video(
+            frames, MagnifyConfig(use_rfft=False, orientations=4))
+        assert psnr(out, np.asarray(want)) > 70.0
+
     def test_video_pallas_frame_x_rows_mesh(self):
         from pbmm_tpu.engine.video import magnify_video
         from pbmm_tpu.parallel.spatial import magnify_video_spatial

@@ -102,14 +102,19 @@ class TestStreamingIngestion:
         ref, _ = magnify_video(frames, cfg)
         np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
-    def test_npy_uint8_memmap_chunks_scale(self, tmp_path, rng):
+    def test_npy_uint8_memmap_chunks_passthrough(self, tmp_path, rng):
+        # r4 contract: uint8 chunks pass through UNscaled — the engine
+        # scales by 1/255 on device (`core.color.unit_float`), quartering
+        # host->device transfer; end-to-end equivalence is pinned by
+        # test_pipeline.py::test_uint8_ingestion.
         from pbmm_tpu.io.stream import frame_chunks
 
         u8 = (self._clip(rng, 5) * 255).astype(np.uint8)
         p = str(tmp_path / "u8.npy")
         np.save(p, u8)
         chunks = np.concatenate(list(frame_chunks(p, 2)))
-        np.testing.assert_allclose(chunks, u8.astype(np.float32) / 255.0)
+        assert chunks.dtype == np.uint8
+        np.testing.assert_array_equal(chunks, u8)
 
     def test_y4m_video_shape_counts_without_decode(self, tmp_path, rng):
         from pbmm_tpu.io.video import video_shape
