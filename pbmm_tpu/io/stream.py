@@ -91,9 +91,34 @@ def frame_chunks(path: str, chunk_frames: int) -> Iterator[np.ndarray]:
     yield from _chunks_whole(path, chunk_frames)
 
 
+def _y4m_device_chunks(plane_iter, chunk_frames: int):
+    """Batch raw uint8 y4m planes and decode to RGB ON DEVICE (r4): the
+    chroma upsample + BT.601 matrix run as one jitted computation
+    (`io.device_decode.ycbcr_planes_to_rgb`), so a C420 stream crosses
+    host->device at ~1.5 bytes/px instead of 12 for host-decoded f32."""
+    from pbmm_tpu.io.device_decode import ycbcr_planes_to_rgb
+
+    def decode(batch):
+        y = np.stack([b[0] for b in batch])
+        cb = np.stack([b[1] for b in batch])
+        cr = np.stack([b[2] for b in batch])
+        h, w = y.shape[1:]
+        return ycbcr_planes_to_rgb(y, cb, cr, h, w)
+
+    batch = []
+    for planes in plane_iter:
+        batch.append(planes)
+        if len(batch) == chunk_frames:
+            yield decode(batch)
+            batch = []
+    if batch:
+        yield decode(batch)
+
+
 def _open_chunk_source(path: str, chunk_frames: int):
     """(loader_or_None, chunk_iterator): the native double-buffered loader
     for .npy when available (decode prefetch off the main thread),
+    device-side YCbCr decode for y4m sources (file or stdin pipe),
     otherwise the bounded-memory python sources above."""
     if path != "-" and path.lower().endswith(".npy"):
         try:
@@ -103,6 +128,21 @@ def _open_chunk_source(path: str, chunk_frames: int):
             return loader, iter(loader)
         except (RuntimeError, ValueError):
             pass
+    if path == "-":
+        import sys
+
+        from pbmm_tpu.io.y4m import read_y4m_planes
+
+        return None, _y4m_device_chunks(
+            read_y4m_planes(sys.stdin.buffer, "<stdin>"), chunk_frames)
+    if path.lower().endswith(".y4m"):
+        from pbmm_tpu.io.y4m import read_y4m_planes
+
+        def _file_planes():
+            with open(path, "rb") as f:
+                yield from read_y4m_planes(f, path)
+
+        return None, _y4m_device_chunks(_file_planes(), chunk_frames)
     return None, frame_chunks(path, chunk_frames)
 
 

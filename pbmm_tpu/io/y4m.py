@@ -98,12 +98,13 @@ def _read_line(f) -> bytes:
     return bytes(out)
 
 
-def read_y4m_stream(f, name: str = "<stream>") -> Iterator[np.ndarray]:
-    """Yield (H, W, 3) f32 RGB frames in [0, 1] from an open binary
-    stream — frame at a time, never materializing the whole clip.  Works
-    on non-seekable streams (pipes / stdin), the offline analog of the
-    reference's live per-frame `OnRenderImage` feed
-    (`MotionMagnificationProcessor.cs:101`)."""
+def read_y4m_planes(f, name: str = "<stream>") -> Iterator[
+        Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield raw (y (H,W), cb (ch,cw), cr (ch,cw)) uint8 planes per frame
+    from an open binary stream — the zero-conversion reader the
+    device-decode streaming path builds on (r4: planes cross host->device
+    as ~1.5 bytes/px instead of 12 for decoded f32 RGB, and the chroma
+    upsample + BT.601 matrix run on the TPU, `io.device_decode`)."""
     header = _read_line(f).decode("ascii", "replace").strip()
     if not header.startswith("YUV4MPEG2"):
         raise ValueError(f"{name!r} is not a YUV4MPEG2 stream")
@@ -132,6 +133,17 @@ def read_y4m_stream(f, name: str = "<stream>") -> Iterator[np.ndarray]:
         y = np.frombuffer(raw, np.uint8, ysz).reshape(h, w)
         cb = np.frombuffer(raw, np.uint8, csz, ysz).reshape(ch, cw)
         cr = np.frombuffer(raw, np.uint8, csz, ysz + csz).reshape(ch, cw)
+        yield y, cb, cr
+
+
+def read_y4m_stream(f, name: str = "<stream>") -> Iterator[np.ndarray]:
+    """Yield (H, W, 3) f32 RGB frames in [0, 1] from an open binary
+    stream — frame at a time, never materializing the whole clip.  Works
+    on non-seekable streams (pipes / stdin), the offline analog of the
+    reference's live per-frame `OnRenderImage` feed
+    (`MotionMagnificationProcessor.cs:101`)."""
+    for y, cb, cr in read_y4m_planes(f, name):
+        h, w = y.shape
         yield _ycbcr_to_rgb(y, _upsample(cb, w, h), _upsample(cr, w, h))
 
 

@@ -102,6 +102,24 @@ class TestStreamingIngestion:
         ref, _ = magnify_video(frames, cfg)
         np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
+    def test_device_decode_matches_host_decode(self, tmp_path, rng):
+        # r4: the streaming drivers decode y4m ON DEVICE (raw u8 planes
+        # cross host->device; chroma upsample + BT.601 in one jitted
+        # computation).  Must match the host reader's decode exactly
+        # (same formulas; FMA-level fp tolerance).
+        from pbmm_tpu.io.stream import _open_chunk_source
+        from pbmm_tpu.io.y4m import load_y4m, save_y4m
+
+        for cs in ("420jpeg", "444"):
+            frames = self._clip(rng, 5)
+            p = str(tmp_path / f"clip_{cs}.y4m")
+            save_y4m(p, frames, colorspace=cs)
+            host = load_y4m(p)
+            _, it = _open_chunk_source(p, 2)
+            dev = np.concatenate([np.asarray(c) for c in it])
+            assert dev.shape == host.shape
+            np.testing.assert_allclose(dev, host, atol=1e-5), cs
+
     def test_npy_uint8_memmap_chunks_passthrough(self, tmp_path, rng):
         # r4 contract: uint8 chunks pass through UNscaled — the engine
         # scales by 1/255 on device (`core.color.unit_float`), quartering
