@@ -367,14 +367,19 @@ def _standard_weight_block(freq, cfg):
     return jnp.maximum(w, 0.0)
 
 
-def _phase_block_standard(cr, ci, pr, pi_, fy_col, fx_row, cfg):
+def _phase_block_standard(cr, ci, pr, pi_, fy_col, fx_row, cfg,
+                          w_plane=None):
     """Standard-mode whole-spectrum amplification on one VMEM block
     (`ProcessPhaseDifference`, `PhaseDifferenceComputeShader.compute:
     124-179`): delta = atan2 of prev*conj(cur), rotated by
     delta * w(f) * phase_scale — transcendentals via the polynomial
-    atan2/sincos (Mosaic has no native lowering for them)."""
-    freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
-    w = _standard_weight_block(freq, cfg)
+    atan2/sincos (Mosaic has no native lowering for them).  `w_plane`:
+    optional host-precomputed w(f) (the grouped-stream static plane)."""
+    if w_plane is not None:
+        w = w_plane
+    else:
+        freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
+        w = _standard_weight_block(freq, cfg)
     tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
     gate_pass = ((cr * cr + ci * ci) < tau2) | ((pr * pr + pi_ * pi_) < tau2)
 
@@ -487,7 +492,95 @@ def _iir_filter_delta(delta, lpf, lps, cfg):
     return new_lpf - new_lps, new_lpf, new_lps
 
 
-def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None):
+@functools.lru_cache(maxsize=8)
+def _static_phase_planes(cfg, h: int, wk: int, full_w: int):
+    """Host-precomputed per-bin planes for the grouped phase kernel:
+    (total, m_amp) f32 (h, wk) in the bitrev/kept-lane layout, or None
+    when the config needs the in-kernel evaluation (overlapping bands,
+    standard mode).
+
+    Rationale (r4): in the GROUPED pair stream the planes' blocks are
+    fetched once per lane-block per chunk (their index map ignores the
+    frame axis), ~1 MB/frame amortized — so the per-bin radial profile
+    evaluation (sqrt + smoothsteps + raised-cosine polynomial) leaves the
+    kernel entirely.  The r1 'constant-free masks' decision predates the
+    grouped layout, where reading planes per FRAME would have cost real
+    HBM.  Values are f64-evaluated (the same formulas the oracle uses,
+    `pyramid.filters.radial_level_params`) then cast — at least as
+    accurate as the in-kernel polynomial path.  Steerable sector weights
+    stay in-kernel (they are cheap since the trig-free rewrite and would
+    need K planes)."""
+    fy = bitrev_freq_axis(h).astype(np.float64)[:, None]
+    if full_w is not None and full_w != wk:
+        fx = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
+    else:
+        fx = bitrev_freq_axis(wk)
+    fx = fx.astype(np.float64)[None, :]
+    freq = np.sqrt(fy * fy + fx * fx)
+    if cfg.mode == "standard":
+        # The standard mode's radial phase-delta weight w(f) is config-
+        # static per bin (`_standard_weight_block` math, f64): ONE plane.
+        f = np.minimum(freq / 0.707, 1.0)
+        if not cfg.apply_bandpass:
+            w_pl = np.ones_like(f)  # no sensitivity scale, as in
+            #                          `_standard_weight_block`
+        else:
+            lo = max(float(cfg.low_freq_cutoff), 1e-3)
+            hi_div = max(1.0 - float(cfg.high_freq_cutoff), 1e-3)
+            steep = float(cfg.filter_steepness)
+            w_pl = np.ones_like(f)
+            w_pl = np.where(f < cfg.low_freq_cutoff, (f / lo) ** steep,
+                            w_pl)
+            w_pl = np.where(f > cfg.high_freq_cutoff,
+                            ((1.0 - f) / hi_div) ** steep, w_pl)
+            w_pl = w_pl * float(cfg.motion_sensitivity)
+            edge = (float(cfg.edge_enhancement) if cfg.enhance_edges
+                    else 0.0)
+            if edge:
+                t = (f - cfg.low_freq_cutoff) / (
+                    cfg.high_freq_cutoff - cfg.low_freq_cutoff)
+                mid = (f > cfg.low_freq_cutoff) & (f < cfg.high_freq_cutoff)
+                w_pl = np.where(
+                    mid, w_pl * (1.0 + edge * np.sin(
+                        np.pi * np.clip(t, 0.0, 1.0))), w_pl)
+            w_pl = np.maximum(w_pl, 0.0)
+        return (w_pl.astype(np.float32),)
+    if cfg.mode != "pyramid":
+        return None
+    params = _mask_params(cfg)
+    if _disjoint_bands(params) is None:
+        return None
+
+    def smoothstep(t):
+        t = np.clip(t, 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    total = np.zeros_like(freq)
+    m_amp = np.zeros_like(freq)
+    for kind, lo, hi, amp in params:
+        if kind == "zero":
+            m = np.zeros_like(freq)
+        elif kind == "high":
+            m = np.where(freq > hi, 1.0,
+                         np.where(freq > lo,
+                                  smoothstep((freq - lo) / (hi - lo)), 0.0))
+        elif kind == "low":
+            m = np.where(freq < lo, 1.0,
+                         np.where(freq < hi,
+                                  1.0 - smoothstep((freq - lo) / (hi - lo)),
+                                  0.0))
+        else:
+            t = (freq - lo) / (hi - lo)
+            m = np.where((freq >= lo) & (freq <= hi),
+                         0.5 * (1.0 + np.cos(2.0 * np.pi * (t - 0.5))), 0.0)
+        total += m
+        if amp:
+            m_amp += m  # disjoint: at most one band nonzero per bin
+    return total.astype(np.float32), m_amp.astype(np.float32)
+
+
+def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None,
+                 static_planes=None):
     """The fused band/phase amplification on one VMEM block (re/im
     parts); dispatches to the standard-mode whole-spectrum pass when
     cfg.mode == "standard".
@@ -506,7 +599,9 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None):
     (out_re, out_im, new_lpf, new_lps)."""
     iir = cfg.temporal.mode == "iir_bandpass"
     if cfg.mode == "standard" and not iir:
-        return _phase_block_standard(cr, ci, pr, pi_, fy_col, fx_row, cfg)
+        return _phase_block_standard(
+            cr, ci, pr, pi_, fy_col, fx_row, cfg,
+            w_plane=(static_planes[0] if static_planes else None))
 
     r_re = pr * cr + pi_ * ci  # prev * conj(cur)
     r_im = pi_ * cr - pr * ci
@@ -532,7 +627,6 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None):
         out_im = jnp.where(gate_pass, ci, cr * rot_im + ci * rot_re)
         return out_re, out_im, new_lpf, new_lps
 
-    freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
     min_mag2 = jnp.minimum(cr * cr + ci * ci, pr * pr + pi_ * pi_)
     tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
 
@@ -541,7 +635,21 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None):
     sect = (_sector_weights(fy_col, fx_row, cfg.orientations)
             if steer else None)
     bands = _disjoint_bands(params)
-    if bands is not None:
+    if static_planes is not None:
+        # Host-precomputed per-bin (total, m_amp) planes (grouped-stream
+        # path): no radial profile evaluation in the kernel at all.
+        total, m = static_planes
+        if steer:
+            amped = jnp.zeros_like(min_mag2)
+            for a in sect:
+                mk = m * a
+                gate = min_mag2 * (mk * mk) >= tau2
+                amped = amped + jnp.where(gate, mk, 0.0)
+        else:
+            gate = min_mag2 * (m * m) >= tau2
+            amped = jnp.where(gate, m, 0.0)
+    elif bands is not None:
+        freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
         # Disjoint-band fast path: at most one amplified band is nonzero
         # per bin, so select its ramp coordinate and evaluate ONE cos
         # polynomial; `m` then equals the sum of all amplified masks.
@@ -569,6 +677,7 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None):
             gate = min_mag2 * (m * m) >= tau2
             amped = jnp.where(gate, m, 0.0)
     else:
+        freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
         total = jnp.zeros_like(freq)
         amped = jnp.zeros_like(min_mag2)
         for kind, lo, hi, amp in params:
@@ -923,45 +1032,64 @@ def phase_col_ifft_grouped(all_re, all_im, cfg, out_rows=None, full_w=None,
         fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
 
     block_w = min(_LANE_BLOCK, w)
-    grid = (b // g, pl.cdiv(w, block_w))
+    # Lane block is the OUTER grid dim: the per-bin constants (static
+    # planes, fx) change only with j, so they are fetched once per lane
+    # block per chunk instead of once per (frame-group, lane) step.
+    grid = (pl.cdiv(w, block_w), b // g)
     n_in = g + c  # plane blocks touched per step
 
     def plane_spec(k):
         return pl.BlockSpec((1, h, block_w),
-                            lambda i, j, k=k: (i * g + k, 0, j),
+                            lambda j, i, k=k: (i * g + k, 0, j),
                             memory_space=pltpu.VMEM)
 
-    fy_spec = pl.BlockSpec((h, 1), lambda i, j: (0, 0),
+    fy_spec = pl.BlockSpec((h, 1), lambda j, i: (0, 0),
                            memory_space=pltpu.VMEM)
-    fx_spec = pl.BlockSpec((1, block_w), lambda i, j: (0, j),
+    fx_spec = pl.BlockSpec((1, block_w), lambda j, i: (0, j),
                            memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((stages, h), lambda i, j: (0, 0),
+    tw_spec = pl.BlockSpec((stages, h), lambda j, i: (0, 0),
                            memory_space=pltpu.VMEM)
-    gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+    gm_spec = pl.BlockSpec((128, 128), lambda j, i: (0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((g, r1 - r0, block_w),
-                            lambda i, j: (i, 0, j),
+                            lambda j, i: (i, 0, j),
                             memory_space=pltpu.VMEM)
+
+    # Host-precomputed (total, m_amp) per-bin planes where the config
+    # allows (pyramid, disjoint bands): their blocks are j-indexed only,
+    # so they are fetched once per lane block per chunk (~1 MB/frame
+    # amortized) and the whole radial profile evaluation leaves the
+    # kernel (`_static_phase_planes`).
+    planes_np = _static_phase_planes(cfg, h, w, full_w)
+    n_pl = len(planes_np) if planes_np is not None else 0
+    pl_spec = pl.BlockSpec((h, block_w), lambda j, i: (0, j),
+                           memory_space=pltpu.VMEM)
 
     def kernel(*refs):
         res = refs[:n_in]
         ims = refs[n_in:2 * n_in]
+        pls = refs[2 * n_in:2 * n_in + n_pl]
         fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref = \
-            refs[2 * n_in:2 * n_in + 6]
+            refs[2 * n_in + n_pl:2 * n_in + n_pl + 6]
         ore, oim = refs[-2:]
+        static_planes = (tuple(p[...] for p in pls) if n_pl else None)
         for k in range(g):  # static unroll: G phase+IFFT chains
             mr, mi = _phase_block(
                 res[k + c][0], ims[k + c][0], res[k][0], ims[k][0],
                 fy_ref[:], fx_ref[:], cfg,
+                static_planes=static_planes,
             )
             rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
                                  gm=(gr_ref[...], gi_ref[...]))
             ore[k] = rr[r0:r1]
             oim[k] = ii[r0:r1]
 
+    plane_inputs = ([jnp.asarray(pp) for pp in planes_np]
+                    if planes_np is not None else [])
     in_specs = ([plane_spec(k) for k in range(n_in)] * 2
+                + [pl_spec] * n_pl
                 + [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec])
-    inputs = ([all_re] * n_in + [all_im] * n_in
+    inputs = ([all_re] * n_in + [all_im] * n_in + plane_inputs
               + [fy, fx, twr, twi, gr, gi])
     return pl.pallas_call(
         kernel,
