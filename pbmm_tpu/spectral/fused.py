@@ -2,20 +2,28 @@
 
 Beyond `pallas_fft.py`'s per-axis FFT kernels, this module fuses the
 neighboring elementwise stages into the FFT kernels themselves, removing
-whole HBM round trips from the per-frame hot path:
+whole HBM round trips from the per-frame hot path (r4 kernel set):
 
-  forward:  window multiply -> row-FFT   (one kernel; the Hann window is
-            applied to the padded Y block in VMEM before the stages)
-  inverse:  band/phase amplification -> column-IFFT   (one kernel; the
-            fused pyramid pass — procedural masks at bit-reversed
-            frequencies, magnitude gates, trig-free integer rotation —
-            runs on the spectrum block in VMEM, then the DIT stages)
-  inverse2: row-IFFT -> |z| magnitude    (one kernel; only the real
-            magnitude plane is written back)
+  k1: window multiply -> row-FFT   (the Hann window is applied to the
+      padded Y block in VMEM before the stages; Hermitian-half kept
+      lanes out)
+  k2: zero-embedded column FFT on the kept lanes
+  k3: band/phase amplification -> column-IFFT.  Three forms:
+      - `phase_col_ifft_grouped` (the hot path): 4 frames per grid step
+        over the pair stream (interior planes read once per step) with
+        host-precomputed per-bin planes (`_static_phase_planes`) fetched
+        once per lane block per chunk;
+      - `phase_col_ifft` (per-frame / pair-offset stream / IIR carries);
+      - `phase_col_ifft_at` (scalar-prefetch frame addressing for the
+        hybrid IIR engine's scan).
+  k4: row-IFFT -> |z| — standalone here (`row_ifft_magnitude`), or fully
+      merged with the post stage (`engine.post_pallas.rowifft_post_fused`
+      via `make_row_ifft_block`) so the reconstruction never exists in
+      HBM.
 
-Eligibility: pyramid mode, two-frame temporal (no delta override), radial
-or steerable masks, magnitude or real reconstruction.  The engine falls
-back to the unfused kernels otherwise (`engine/pipeline.py`).
+Eligibility (`fused_eligible`): pyramid (radial or steerable) or standard
+mode, two-frame or IIR temporal, magnitude or real reconstruction.  The
+engine falls back to the unfused kernels otherwise (`engine/pipeline.py`).
 """
 
 from __future__ import annotations
