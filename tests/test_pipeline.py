@@ -148,6 +148,20 @@ class TestVideoParity:
         with _pytest.raises(ValueError):
             MagnifyConfig(engine="warp")
 
+    def test_grouped_stream_g2_and_ungrouped_tails(self):
+        # Chunk sizes exercise all three pair-stream layouts: t=6 -> G=2
+        # group, t=5 -> per-frame stream, t=8 -> G=4; all must agree with
+        # the scan engine.
+        cfg = MagnifyConfig(
+            fft_backend="pallas", use_rfft=False, use_fused_spectral=True,
+            use_hermitian_spectral=True, interpret_pallas=True,
+        )
+        for t in (6, 7):  # bootstrap consumes frame 0 -> chunks of 5, 6
+            frames = oscillating_bar(size=128, frames=t, bar_width=2)
+            out_b, _ = magnify_video(frames, cfg)
+            out_s, _ = magnify_video(frames, cfg.replace(engine="scan"))
+            assert psnr(np.asarray(out_b), np.asarray(out_s)) > 100.0, t
+
     def test_uint8_ingestion(self):
         # 8-bit frames are first-class (r4): scaled by 1/255 on device
         # (`core.color.unit_float`), quartering host->device transfer for
