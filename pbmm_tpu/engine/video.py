@@ -235,7 +235,10 @@ def _chunk_batched_iir(frames, state: VideoState, cfg: MagnifyConfig):
     around the one stage whose math is inherently sequential."""
     from pbmm_tpu.core.window import geometry_for
     from pbmm_tpu.engine.pipeline import blur_row_window, preprocess_cl
-    from pbmm_tpu.spectral.fused import phase_col_ifft_at
+    from pbmm_tpu.spectral.fused import (
+        phase_col_ifft_at,
+        phase_col_ifft_iir_chunk,
+    )
 
     t = frames.shape[0]
     h, w = frames.shape[-3], frames.shape[-2]
@@ -246,6 +249,26 @@ def _chunk_batched_iir(frames, state: VideoState, cfg: MagnifyConfig):
     sre, sim, i_plane, q_plane = preprocess_cl(frames, cfg)
     all_re = jnp.concatenate([state.prev_spec_re, sre], axis=0)
     all_im = jnp.concatenate([state.prev_spec_im, sim], axis=0)
+
+    if c == 1:
+        # The whole chunk's sequential recurrence runs INSIDE one kernel
+        # (frame axis inner, lp/prev state in VMEM scratch per lane
+        # block): zero per-frame HBM state traffic, no scan glue.
+        with jax.named_scope("pbmm.phase_ifft_fused"):
+            rres, rims, nlpf, nlps = phase_col_ifft_iir_chunk(
+                all_re, all_im,
+                state.temporal.lp_fast, state.temporal.lp_slow, cfg,
+                out_rows=rows, full_w=geom.pad_w,
+                interpret=cfg.interpret_pallas,
+            )
+            outs = _tail_block(rres, rims, i_plane, q_plane, cfg, geom,
+                               rows, t, h, w)
+        new_state = VideoState(
+            sre[-1:], sim[-1:], state.prev_frame,
+            TemporalState(nlpf, nlps),
+            state.frame_idx + jnp.int32(t),
+        )
+        return outs, new_state
 
     def step(carry, i):
         lpf, lps = carry

@@ -622,8 +622,11 @@ def _phase_block(cr, ci, pr, pi_, fy_col, fx_row, cfg, lpf=None, lps=None,
         )
 
     if cfg.mode == "standard":
-        freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
-        w = _standard_weight_block(freq, cfg)
+        if static_planes is not None:
+            w = static_planes[0]
+        else:
+            freq = jnp.sqrt(fy_col * fy_col + fx_row * fx_row)
+            w = _standard_weight_block(freq, cfg)
         tau2 = jnp.float32(cfg.magnitude_threshold) ** 2
         gate_pass = ((cr * cr + ci * ci) < tau2) | (
             (pr * pr + pi_ * pi_) < tau2
@@ -1108,6 +1111,131 @@ def phase_col_ifft_grouped(all_re, all_im, cfg, out_rows=None, full_w=None,
             jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
             jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "out_rows", "full_w",
+                                    "interpret"))
+def phase_col_ifft_iir_chunk(all_re, all_im, lp_fast, lp_slow, cfg,
+                             out_rows=None, full_w=None,
+                             interpret: bool = False):
+    """The whole IIR chunk in ONE kernel (r4): grid (lane-block OUTER,
+    frame INNER); the lp low-pass planes and the previous frame's
+    spectrum live in VMEM SCRATCH across the frame axis, so the
+    sequential temporal recurrence costs ZERO per-frame HBM state
+    traffic (the per-frame-call scan engine read+wrote 4 lp/prev planes
+    = ~37 MB/frame; here the lp planes are read once and the final state
+    written once per chunk, ~2.4 MB/frame at T=16).  The IIR recurrence
+    is per-bin independent, so sequencing frames inside the kernel per
+    lane block is exact.  Static phase planes apply (fetched once per
+    lane block per chunk).
+
+    `all_re/all_im`: (T+1, H, Wk) pair stream (plane 0 = carried prev).
+    y_only (c=1) only — the rgb stream interleaves planes and would need
+    per-plane scratch banks; the engine falls back to the per-frame scan
+    for rgb.  Returns (re, im, new_lp_fast, new_lp_slow)."""
+    n, h, w = all_re.shape
+    t = n - 1
+    r0, r1 = out_rows if out_rows is not None else (0, h)
+    twr_np, twi_np = _dif_twiddles(h, True)
+    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    gr_np, gi_np = _intra_group_matrix(h, True)
+    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
+    stages = twr_np.shape[0]
+    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]
+    if full_w is not None and full_w != w:
+        fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
+        fx = jnp.asarray(fx_np)[None, :]
+    else:
+        fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
+
+    block_w = min(_LANE_BLOCK, w)
+    grid = (pl.cdiv(w, block_w), t)  # j OUTER, frame INNER (sequential)
+
+    cur_spec = pl.BlockSpec((1, h, block_w), lambda j, i: (i + 1, 0, j),
+                            memory_space=pltpu.VMEM)
+    prev0_spec = pl.BlockSpec((1, h, block_w), lambda j, i: (0, 0, j),
+                              memory_space=pltpu.VMEM)
+    lp_spec = pl.BlockSpec((1, h, block_w), lambda j, i: (0, 0, j),
+                           memory_space=pltpu.VMEM)
+    fy_spec = pl.BlockSpec((h, 1), lambda j, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    fx_spec = pl.BlockSpec((1, block_w), lambda j, i: (0, j),
+                           memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, h), lambda j, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda j, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, r1 - r0, block_w),
+                            lambda j, i: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    planes_np = _static_phase_planes(cfg, h, w, full_w)
+    n_pl = len(planes_np) if planes_np is not None else 0
+    pl_spec = pl.BlockSpec((h, block_w), lambda j, i: (0, j),
+                           memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        (cur_re_ref, cur_im_ref, p0_re_ref, p0_im_ref,
+         lpf_ref, lps_ref) = refs[:6]
+        pls = refs[6:6 + n_pl]
+        fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref = \
+            refs[6 + n_pl:12 + n_pl]
+        ore, oim, olpf, olps = refs[12 + n_pl:16 + n_pl]
+        spr, spi, slpf, slps = refs[16 + n_pl:]
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            spr[...] = p0_re_ref[0]
+            spi[...] = p0_im_ref[0]
+            slpf[...] = lpf_ref[0]
+            slps[...] = lps_ref[0]
+
+        static_planes = (tuple(p[...] for p in pls) if n_pl else None)
+        cr, ci = cur_re_ref[0], cur_im_ref[0]
+        mr, mi, nlpf, nlps = _phase_block(
+            cr, ci, spr[...], spi[...], fy_ref[:], fx_ref[:], cfg,
+            lpf=slpf[...], lps=slps[...], static_planes=static_planes,
+        )
+        spr[...] = cr
+        spi[...] = ci
+        slpf[...] = nlpf
+        slps[...] = nlps
+        # Revisited output blocks (j-constant index): final write wins —
+        # the chunk's last lp state leaves the kernel.
+        olpf[0] = nlpf
+        olps[0] = nlps
+        rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
+                             gm=(gr_ref[...], gi_ref[...]))
+        ore[0] = rr[r0:r1]
+        oim[0] = ii[r0:r1]
+
+    plane_inputs = ([jnp.asarray(pp) for pp in planes_np]
+                    if planes_np is not None else [])
+    in_specs = ([cur_spec, cur_spec, prev0_spec, prev0_spec,
+                 lp_spec, lp_spec]
+                + [pl_spec] * n_pl
+                + [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec])
+    inputs = ([all_re, all_im, all_re, all_im, lp_fast, lp_slow]
+              + plane_inputs + [fy, fx, twr, twi, gr, gi])
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, lp_spec, lp_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, r1 - r0, w), jnp.float32),
+            jax.ShapeDtypeStruct((t, r1 - r0, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((h, block_w), jnp.float32)] * 4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
