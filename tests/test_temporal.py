@@ -144,6 +144,22 @@ class TestFusedIIR:
         out_f, _ = magnify_video(clip, self.FUSED.replace(mode="standard"))
         assert psnr(np.asarray(out_f), np.asarray(out_x)) > 70.0
 
+    def test_standard_iir_chunk_kernel_hermitian(self):
+        """Standard mode + IIR + Hermitian kept lanes through the r4
+        whole-chunk IIR kernel (w(f) static plane + lp scratch) vs the
+        scan engine."""
+        from pbmm_tpu.oracle.synthetic import oscillating_bar
+
+        clip = oscillating_bar(size=280, frames=5, bar_width=4)
+        cfg = self.FUSED.replace(mode="standard",
+                                 use_hermitian_spectral=True)
+        out_h, st_h = magnify_video(clip, cfg)
+        out_s, st_s = magnify_video(clip, cfg.replace(engine="scan"))
+        assert psnr(np.asarray(out_h), np.asarray(out_s)) > 90.0
+        np.testing.assert_allclose(np.asarray(st_h.temporal.lp_fast),
+                                   np.asarray(st_s.temporal.lp_fast),
+                                   atol=1e-6)
+
     def test_hybrid_iir_engine_equals_scan(self):
         """The r4 hybrid IIR chunk engine (batched FFTs around a scan of
         only the sequential phase stage) is bit-identical to the scan
