@@ -826,24 +826,43 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
         )
         prev_re, prev_im = cur_re, cur_im
 
+    # Host-precomputed per-bin planes for numeric CONSISTENCY with the
+    # grouped/whole-chunk kernels (advisor r4): the same config now yields
+    # fp-identical per-bin weights regardless of whether the chunk length
+    # routed it through the grouped stream or this per-frame kernel.
+    # Skipped when the caller overrides fx (sharded engine: the shard's
+    # bins are runtime values, so host planes cannot apply).
+    planes_np = (_static_phase_planes(cfg, h, w, full_w)
+                 if fx_values is None else None)
+    n_pl = len(planes_np) if planes_np is not None else 0
+    pl_spec = pl.BlockSpec((h, block_w), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+
     def kernel(*refs):
         if iir:
-            (cr_ref, ci_ref, pr_ref, pi_ref, lpf_ref, lps_ref, fy_ref,
-             fx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
-             ore, oim, olpf, olps) = refs
+            (cr_ref, ci_ref, pr_ref, pi_ref, lpf_ref, lps_ref) = refs[:6]
+            pls = refs[6:6 + n_pl]
+            (fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
+             ore, oim, olpf, olps) = refs[6 + n_pl:]
             mr, mi, nlpf, nlps = _phase_block(
                 cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
                 fy_ref[:], fx_ref[:], cfg,
                 lpf=lpf_ref[0], lps=lps_ref[0],
+                static_planes=(tuple(p[...] for p in pls) if n_pl
+                               else None),
             )
             olpf[0] = nlpf
             olps[0] = nlps
         else:
-            (cr_ref, ci_ref, pr_ref, pi_ref, fy_ref, fx_ref,
-             twr_ref, twi_ref, gr_ref, gi_ref, ore, oim) = refs
+            (cr_ref, ci_ref, pr_ref, pi_ref) = refs[:4]
+            pls = refs[4:4 + n_pl]
+            (fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
+             ore, oim) = refs[4 + n_pl:]
             mr, mi = _phase_block(
                 cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
                 fy_ref[:], fx_ref[:], cfg,
+                static_planes=(tuple(p[...] for p in pls) if n_pl
+                               else None),
             )
         rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
                              gm=(gr_ref[...], gi_ref[...]))
@@ -865,6 +884,9 @@ def phase_col_ifft(cur_re, cur_im, prev_re, prev_im, cfg,
             jax.ShapeDtypeStruct((b, h, w), jnp.float32),
             jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         ]
+    if n_pl:
+        in_specs += [pl_spec] * n_pl
+        inputs += [jnp.asarray(pp) for pp in planes_np]
     in_specs += [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec]
     inputs += [fy, fx, twr, twi, gr, gi]
 
@@ -1303,13 +1325,23 @@ def phase_col_ifft_at(all_re, all_im, lp_fast, lp_slow, idx, cfg,
                             lambda i, j, s: (i, 0, j),
                             memory_space=pltpu.VMEM)
 
-    def kernel(s_ref, cr_ref, ci_ref, pr_ref, pi_ref, lpf_ref, lps_ref,
-               fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
-               ore, oim, olpf, olps):
+    # Static per-bin planes for chunk-size invariance (advisor r4): the
+    # scan path then uses fp-identical weights to the grouped stream.
+    planes_np = _static_phase_planes(cfg, h, w, full_w)
+    n_pl = len(planes_np) if planes_np is not None else 0
+    pl_plane_spec = pl.BlockSpec((h, block_w), lambda i, j, s: (0, j),
+                                 memory_space=pltpu.VMEM)
+
+    def kernel(s_ref, *refs):
+        (cr_ref, ci_ref, pr_ref, pi_ref, lpf_ref, lps_ref) = refs[:6]
+        pls = refs[6:6 + n_pl]
+        (fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
+         ore, oim, olpf, olps) = refs[6 + n_pl:]
         mr, mi, nlpf, nlps = _phase_block(
             cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
             fy_ref[:], fx_ref[:], cfg,
             lpf=lpf_ref[0], lps=lps_ref[0],
+            static_planes=(tuple(p[...] for p in pls) if n_pl else None),
         )
         olpf[0] = nlpf
         olps[0] = nlps
@@ -1322,10 +1354,12 @@ def phase_col_ifft_at(all_re, all_im, lp_fast, lp_slow, idx, cfg,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[cur_spec, cur_spec, prev_spec, prev_spec,
-                  lp_spec, lp_spec, fy_spec, fx_spec,
-                  tw_spec, tw_spec, gm_spec, gm_spec],
+                  lp_spec, lp_spec] + [pl_plane_spec] * n_pl
+                 + [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec],
         out_specs=(out_spec, out_spec, lp_spec, lp_spec),
     )
+    plane_inputs = ([jnp.asarray(pp) for pp in planes_np]
+                    if planes_np is not None else [])
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1341,7 +1375,7 @@ def phase_col_ifft_at(all_re, all_im, lp_fast, lp_slow, idx, cfg,
         interpret=interpret,
     )(jnp.asarray(idx, jnp.int32).reshape((1,)),
       all_re, all_im, all_re, all_im, lp_fast, lp_slow,
-      fy, fx, twr, twi, gr, gi)
+      *plane_inputs, fy, fx, twr, twi, gr, gi)
 
 
 def make_row_ifft_block(wk: int, full_w: int, pad_h: int,

@@ -118,7 +118,7 @@ class TestStreamingIngestion:
             _, it = _open_chunk_source(p, 2)
             dev = np.concatenate([np.asarray(c) for c in it])
             assert dev.shape == host.shape
-            np.testing.assert_allclose(dev, host, atol=1e-5), cs
+            np.testing.assert_allclose(dev, host, atol=1e-5, err_msg=cs)
 
     def test_npy_uint8_memmap_chunks_passthrough(self, tmp_path, rng):
         # r4 contract: uint8 chunks pass through UNscaled — the engine
