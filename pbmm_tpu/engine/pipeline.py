@@ -157,9 +157,15 @@ def preprocess(
         return spec, yiq
 
 
-def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig):
+def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig,
+                  through_col: bool = True):
     """Channels-last preprocess for the batched chunk engine:
     (T, H, W, 3) RGB -> (re, im, i_plane, q_plane).
+
+    `through_col=False` stops after the row-FFT kernel (re/im are the
+    (T[*3], Hc, Wk) content-row spectra): the spectrum-resident chunk
+    engine (`spectral.fused.colspec_chunk`) runs the column stages
+    itself, so the 2D spectrum never exists in HBM.
 
     y_only chroma: re/im are the (T, Hp, Wk) row+col FFT of the windowed
     Y slab, and the original I/Q ride as (T, H, W) channels-last planes
@@ -213,10 +219,11 @@ def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig):
                 slab, pad_h=geom.pad_h, row0=r0, keep_half=keep,
                 interpret=cfg.interpret_pallas,
             )
-            re, im = col_fft_zero_padded(
-                re, im, pad_h=geom.pad_h, row0=r0,
-                interpret=cfg.interpret_pallas,
-            )
+            if through_col:
+                re, im = col_fft_zero_padded(
+                    re, im, pad_h=geom.pad_h, row0=r0,
+                    interpret=cfg.interpret_pallas,
+                )
     return re, im, i_plane, q_plane
 
 

@@ -207,6 +207,78 @@ def _tail_block(rre, rim, i_plane, q_plane, cfg, geom, rows, t, h, w):
     return _post_block(rec, i_plane, q_plane, cfg, geom, rows, t, h, w)
 
 
+def _colspec_ok(cfg: MagnifyConfig, frame_shape) -> bool:
+    """Whether the spectrum-resident chunk engine (r5,
+    `spectral.fused.colspec_chunk`) serves this config: the fused
+    spectral path with cached spectra, in either temporal mode, any
+    chroma — the column stages and the carried state live in
+    VMEM scratch, so the 2D spectrum never exists in HBM."""
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import hermitian_active
+    from pbmm_tpu.spectral.hermitian import hermitian_kept_width
+
+    if _os.environ.get("PBMM_COLCHUNK", "1") == "0":
+        return False
+    if not (cfg.cache_prev_spectrum
+            and cfg.temporal.mode in ("two_frame", "iir_bandpass")):
+        return False
+    geom = geometry_for(frame_shape[-3], frame_shape[-2], cfg.pad_mode)
+    wk = (hermitian_kept_width(geom.pad_w)
+          if hermitian_active(cfg, geom) else geom.pad_w)
+    return fused_reconstruct_ok(cfg, (geom.pad_h, wk))
+
+
+def _chunk_colspec(frames, state: VideoState, cfg: MagnifyConfig):
+    """Spectrum-resident chunk engine (r5): pre + row-FFT batch over the
+    chunk, then ONE kernel runs every frame's column-FFT + band/phase +
+    column-IFFT with the previous frame's spectrum (and the IIR low-pass
+    taps) carried across the frame axis in VMEM scratch
+    (`colspec_chunk`), then the merged row-IFFT+post kernel batches
+    again.  vs the r4 engines: the column spectrum's HBM round trip
+    (~30-65 MB/frame) is gone, and the same kernel serves two-frame,
+    IIR, y_only and rgb (no grouped/scan special cases)."""
+    from pbmm_tpu.core.window import geometry_for
+    from pbmm_tpu.engine.pipeline import blur_row_window, preprocess_cl
+    from pbmm_tpu.spectral.fused import colspec_chunk
+
+    t = frames.shape[0]
+    h, w = frames.shape[-3], frames.shape[-2]
+    geom = geometry_for(h, w, cfg.pad_mode)
+    rows = blur_row_window(geom, cfg)
+    c = 3 if cfg.chroma == "rgb" else 1
+    from pbmm_tpu.spectral.fused import aligned_row_window
+
+    r0, _ = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
+    rre_rows, rim_rows, i_plane, q_plane = preprocess_cl(
+        frames, cfg, through_col=False
+    )
+    iir = cfg.temporal.mode == "iir_bandpass"
+    lp_kw = {}
+    if iir:
+        lp_kw = dict(lp_fast=state.temporal.lp_fast,
+                     lp_slow=state.temporal.lp_slow)
+    with jax.named_scope("pbmm.colspec_chunk"):
+        res = colspec_chunk(
+            rre_rows, rim_rows, state.prev_spec_re, state.prev_spec_im,
+            cfg, pad_h=geom.pad_h, row0=r0, out_rows=rows,
+            full_w=geom.pad_w, planes=c,
+            interpret=cfg.interpret_pallas, **lp_kw,
+        )
+        if iir:
+            rres, rims, npr, npi, nlpf, nlps = res
+            new_temporal = TemporalState(nlpf, nlps)
+        else:
+            rres, rims, npr, npi = res
+            new_temporal = state.temporal
+        outs = _tail_block(rres, rims, i_plane, q_plane, cfg, geom, rows,
+                           t, h, w)
+    new_state = VideoState(
+        npr, npi, state.prev_frame, new_temporal,
+        state.frame_idx + jnp.int32(t),
+    )
+    return outs, new_state
+
+
 def _batched_iir_ok(cfg: MagnifyConfig, frame_shape) -> bool:
     """Whether the hybrid IIR chunk engine serves this config: fused
     spectral path with the IIR temporal mode and cached spectra.  Only
@@ -366,8 +438,15 @@ _chunk_batched_iir_jit = functools.partial(
 )(lambda frames, state, cfg: _chunk_batched_iir(frames, state, cfg))
 
 
+_chunk_colspec_jit = functools.partial(
+    jax.jit, static_argnames=("cfg",)
+)(lambda frames, state, cfg: _chunk_colspec(frames, state, cfg))
+
+
 def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
     if _use_batched(cfg) and frames.shape[0] > 0:
+        if _colspec_ok(cfg, frames.shape):
+            return _chunk_colspec_jit(frames, state, cfg)
         if _batched_ok(cfg, frames.shape):
             return _chunk_batched_jit(frames, state, cfg)
         if _batched_iir_ok(cfg, frames.shape):

@@ -1378,6 +1378,208 @@ def phase_col_ifft_at(all_re, all_im, lp_fast, lp_slow, idx, cfg,
       *plane_inputs, fy, fx, twr, twi, gr, gi)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "pad_h", "row0", "out_rows",
+                                    "full_w", "planes", "interpret"))
+def colspec_chunk(rows_re, rows_im, prev_re, prev_im, cfg,
+                  pad_h: int, row0: int, lp_fast=None, lp_slow=None,
+                  out_rows=None, full_w=None, planes: int = 1,
+                  interpret: bool = False):
+    """Merged column-FFT + band/phase + column-IFFT, spectrum-resident
+    (r5): the whole chunk's column stages run in ONE kernel with the
+    frame axis as the INNER grid dim and the previous frame's column
+    spectrum carried in VMEM scratch — the 2D spectrum NEVER exists in
+    HBM.  Replaces the k2 (`col_fft_zero_padded`) + k3
+    (`phase_col_ifft_grouped` / `_iir_chunk` / `_at`) pair in the batched
+    engines: per frame the old pair wrote 2 spectrum planes and re-read
+    ~1.25 (grouped) to 4 (IIR scan) of them (~30-65 MB/frame at 1080p);
+    here the kernel reads only k1's content-row spectra and writes only
+    the row-windowed inverse — the same two VMEM column sweeps per frame
+    (fwd for cur, inv for the result), zero spectrum HBM traffic.
+
+    Covers the full first-class matrix: two-frame AND streaming IIR
+    (lp planes ride the scratch exactly as `phase_col_ifft_iir_chunk`),
+    y_only AND chroma="rgb" (`planes=3`: the plane axis is the OUTER
+    grid dim, so each plane's frame series gets its own scratch carry —
+    the per-plane "scratch banks" of the r4 verdict).
+
+    Replaces, at the byte level, the reference's FFT columns pass +
+    per-bin phase pass + IFFT columns pass
+    (`FFT.compute:235-276` ButterflyByCol,
+    `PyramidPhaseDifference.compute:58-101`,
+    `MotionMagnificationProcessor.cs:536-604`) — sequenced per frame
+    through GPU textures there, fused per lane block here.
+
+    Args:
+      rows_re/rows_im: (T*planes, Hc, Wk) k1 output — row-FFT of the
+        windowed content rows (plane-minor frame-major for rgb).
+      prev_re/prev_im: (planes, Hp, Wk) carried previous-frame 2D
+        spectrum (chunk boundary state, same contract as `VideoState`).
+      pad_h/row0: zero-embed geometry of the content slab.
+      lp_fast/lp_slow: (planes, Hp, Wk) IIR low-pass carries
+        (iir_bandpass mode only).
+    Returns (rre, rim, new_prev_re, new_prev_im[, new_lpf, new_lps]):
+      rre/rim (T*planes, r1-r0, Wk) column-IFFT of the amplified
+      spectrum; new_prev the last frame's spectrum planes; new_lp the
+      final IIR taps.
+    """
+    n, hc, w = rows_re.shape
+    c = planes
+    t = n // c
+    assert n == t * c
+    h = pad_h
+    r0, r1 = out_rows if out_rows is not None else (0, h)
+    iir = cfg.temporal.mode == "iir_bandpass"
+    if iir and (lp_fast is None or lp_slow is None):
+        raise ValueError("iir_bandpass needs lp_fast/lp_slow carry planes")
+
+    ftwr_np, ftwi_np = _dif_twiddles(h, False)
+    itwr_np, itwi_np = _dif_twiddles(h, True)
+    fgr_np, fgi_np = _intra_group_matrix(h, False)
+    igr_np, igi_np = _intra_group_matrix(h, True)
+    stages = ftwr_np.shape[0]
+    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]
+    if full_w is not None and full_w != w:
+        fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
+        fx = jnp.asarray(fx_np)[None, :]
+    else:
+        fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
+
+    block_w = min(_LANE_BLOCK, w)
+    # Plane OUTER (per-plane scratch series), lane block MIDDLE (static
+    # planes fetched once per lane block), frame INNER (sequential:
+    # the scratch carries prev spectrum + lp taps across it).
+    grid = (c, pl.cdiv(w, block_w), t)
+
+    rows_spec = pl.BlockSpec((1, hc, block_w),
+                             lambda ci, j, i: (i * c + ci, 0, j),
+                             memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((1, h, block_w), lambda ci, j, i: (ci, 0, j),
+                              memory_space=pltpu.VMEM)
+    fy_spec = pl.BlockSpec((h, 1), lambda ci, j, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    fx_spec = pl.BlockSpec((1, block_w), lambda ci, j, i: (0, j),
+                           memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, h), lambda ci, j, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda ci, j, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, r1 - r0, block_w),
+                            lambda ci, j, i: (i * c + ci, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    planes_np = _static_phase_planes(cfg, h, w, full_w)
+    n_pl = len(planes_np) if planes_np is not None else 0
+    pl_spec = pl.BlockSpec((h, block_w), lambda ci, j, i: (0, j),
+                           memory_space=pltpu.VMEM)
+
+    def embed(x):
+        parts = []
+        if row0 > 0:
+            parts.append(jnp.zeros((row0, x.shape[1]), jnp.float32))
+        parts.append(x)
+        if row0 + hc < h:
+            parts.append(jnp.zeros((h - row0 - hc, x.shape[1]),
+                                   jnp.float32))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x
+
+    n_state_in = 4 if iir else 2
+
+    def kernel(*refs):
+        rr_ref, ri_ref = refs[:2]
+        state_refs = refs[2:2 + n_state_in]
+        pls = refs[2 + n_state_in:2 + n_state_in + n_pl]
+        (fy_ref, fx_ref, ftwr_ref, ftwi_ref, itwr_ref, itwi_ref,
+         fgr_ref, fgi_ref, igr_ref, igi_ref) = \
+            refs[2 + n_state_in + n_pl:12 + n_state_in + n_pl]
+        outs = refs[12 + n_state_in + n_pl:]
+        if iir:
+            ore, oim, opr, opi, olpf, olps = outs[:6]
+            spr, spi, slpf, slps = outs[6:]
+        else:
+            ore, oim, opr, opi = outs[:4]
+            spr, spi = outs[4:]
+        i = pl.program_id(2)
+
+        @pl.when(i == 0)
+        def _():
+            spr[...] = state_refs[0][0]
+            spi[...] = state_refs[1][0]
+            if iir:
+                slpf[...] = state_refs[2][0]
+                slps[...] = state_refs[3][0]
+
+        # Forward column FFT of the current frame (zero-embedded content
+        # slab) — bit-identical op sequence to `col_fft_zero_padded`.
+        cr, ci_ = _fft_stages(embed(rr_ref[0]), embed(ri_ref[0]), h, 0,
+                              False, ftwr_ref, ftwi_ref,
+                              gm=(fgr_ref[...], fgi_ref[...]))
+
+        static_planes = (tuple(p[...] for p in pls) if n_pl else None)
+        if iir:
+            mr, mi, nlpf, nlps = _phase_block(
+                cr, ci_, spr[...], spi[...], fy_ref[:], fx_ref[:], cfg,
+                lpf=slpf[...], lps=slps[...], static_planes=static_planes,
+            )
+            slpf[...] = nlpf
+            slps[...] = nlps
+            olpf[0] = nlpf  # revisited block: final write wins
+            olps[0] = nlps
+        else:
+            mr, mi = _phase_block(
+                cr, ci_, spr[...], spi[...], fy_ref[:], fx_ref[:], cfg,
+                static_planes=static_planes,
+            )
+        spr[...] = cr
+        spi[...] = ci_
+        opr[0] = cr  # revisited block: the chunk's last spectrum leaves
+        opi[0] = ci_
+        rr, ii = _fft_stages(mr, mi, h, 0, True, itwr_ref, itwi_ref,
+                             gm=(igr_ref[...], igi_ref[...]))
+        ore[0] = rr[r0:r1]
+        oim[0] = ii[r0:r1]
+
+    state_inputs = [prev_re, prev_im] + ([lp_fast, lp_slow] if iir else [])
+    plane_inputs = ([jnp.asarray(pp) for pp in planes_np]
+                    if planes_np is not None else [])
+    in_specs = ([rows_spec, rows_spec]
+                + [state_spec] * n_state_in
+                + [pl_spec] * n_pl
+                + [fy_spec, fx_spec, tw_spec, tw_spec, tw_spec, tw_spec,
+                   gm_spec, gm_spec, gm_spec, gm_spec])
+    inputs = ([rows_re, rows_im] + state_inputs + plane_inputs
+              + [fy, fx, jnp.asarray(ftwr_np), jnp.asarray(ftwi_np),
+                 jnp.asarray(itwr_np), jnp.asarray(itwi_np),
+                 jnp.asarray(fgr_np), jnp.asarray(fgi_np),
+                 jnp.asarray(igr_np), jnp.asarray(igi_np)])
+    out_specs = [out_spec, out_spec, state_spec, state_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, r1 - r0, w), jnp.float32),
+        jax.ShapeDtypeStruct((n, r1 - r0, w), jnp.float32),
+        jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+    ]
+    if iir:
+        out_specs += [state_spec, state_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        ]
+    scratch = [pltpu.VMEM((h, block_w), jnp.float32)] * (4 if iir else 2)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
 def make_row_ifft_block(wk: int, full_w: int, pad_h: int,
                         magnitude: bool = True):
     """Factory for embedding the row-axis IFFT (+Hermitian rebuild, +|z|)
