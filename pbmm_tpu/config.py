@@ -186,8 +186,15 @@ class MagnifyConfig:
             raise ValueError(f"unknown mode: {self.mode!r}")
         if self.reconstruct not in ("magnitude", "real"):
             raise ValueError(f"unknown reconstruct: {self.reconstruct!r}")
-        if self.pad_mode not in ("square_pow2", "rect_pow2"):
+        if self.pad_mode not in ("square_pow2", "rect_pow2", "tight"):
             raise ValueError(f"unknown pad_mode: {self.pad_mode!r}")
+        if (self.pad_mode == "tight" and self.fft_backend not in
+                ("xla", "pallas")):
+            raise ValueError(
+                "pad_mode='tight' needs a non-pow2-capable backend: "
+                "fft_backend='pallas' (four-step column kernel, batched "
+                "engine) or 'xla' (generic FFT)"
+            )
         if self.chroma not in ("y_only", "rgb"):
             raise ValueError(f"unknown chroma: {self.chroma!r}")
         if self.engine not in ("batched", "scan"):

@@ -53,6 +53,15 @@ def geometry_for(in_h: int, in_w: int, pad_mode: str = "square_pow2") -> Geometr
         pad_h = pad_w = n
     elif pad_mode == "rect_pow2":
         pad_h, pad_w = _next_pow2(in_h), _next_pow2(in_w)
+    elif pad_mode == "tight":
+        # r5: height padded to the smallest multiple of 128 (the TPU
+        # lane/MXU quantum) — 1080p pads to 1152 = 9*128 instead of 2048,
+        # 0.5625x the pixels.  Served by the four-step mixed-radix column
+        # transform (`spectral.fused._fourstep_col`) in the Pallas path
+        # and by XLA's generic FFT otherwise; the width keeps the pow-2
+        # rule (the row kernels' Hermitian/bitrev machinery is pow-2).
+        pad_h = max(-(-in_h // 128) * 128, 128)
+        pad_w = _next_pow2(in_w)
     else:
         raise ValueError(f"unknown pad_mode: {pad_mode!r}")
     # Center placement; the reference's GL quad offsets are

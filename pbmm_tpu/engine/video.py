@@ -443,6 +443,10 @@ _chunk_colspec_jit = functools.partial(
 )(lambda frames, state, cfg: _chunk_colspec(frames, state, cfg))
 
 
+def _tight_pallas(cfg: MagnifyConfig) -> bool:
+    return cfg.pad_mode == "tight" and cfg.fft_backend == "pallas"
+
+
 def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
     if _use_batched(cfg) and frames.shape[0] > 0:
         if _colspec_ok(cfg, frames.shape):
@@ -451,11 +455,48 @@ def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
             return _chunk_batched_jit(frames, state, cfg)
         if _batched_iir_ok(cfg, frames.shape):
             return _chunk_batched_iir_jit(frames, state, cfg)
+    if _tight_pallas(cfg):
+        # The per-frame Pallas kernels are pow-2-only on the column axis;
+        # only the spectrum-resident chunk engine carries the four-step
+        # tight-height transform.
+        raise ValueError(
+            "pad_mode='tight' with fft_backend='pallas' requires the "
+            "batched engine with cached spectra (engine='batched', "
+            "cache_prev_spectrum=True, fused spectral path); use "
+            "fft_backend='xla' for other engine combinations"
+        )
     return _chunk_scan(frames, state, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _magnify_bootstrap(frames, cfg: MagnifyConfig):
+    if _tight_pallas(cfg) and _colspec_ok(cfg, frames.shape):
+        # Tight-height bootstrap: `video_init`'s standalone column FFT is
+        # pow-2-only, so frame 0 runs THROUGH the chunk kernel against a
+        # zero previous spectrum instead.  Every gate sees |prev| = 0 < tau
+        # (pass-through) and the IIR delta is atan2(0, 0) = 0 (lp taps stay
+        # zero), so the carried state after frame 0 is exactly
+        # {spectrum(frame 0), zero taps} — frame 0's output plane is
+        # discarded and replaced by the reference's first-frame
+        # passthrough (`MotionMagnificationProcessor.cs:111-117`).
+        from pbmm_tpu.core.window import geometry_for
+        from pbmm_tpu.engine.pipeline import hermitian_active
+        from pbmm_tpu.spectral.hermitian import hermitian_kept_width
+
+        geom = geometry_for(frames.shape[-3], frames.shape[-2],
+                            cfg.pad_mode)
+        wk = (hermitian_kept_width(geom.pad_w)
+              if hermitian_active(cfg, geom) else geom.pad_w)
+        c = 3 if cfg.chroma == "rgb" else 1
+        zeros = jnp.zeros((c, geom.pad_h, wk), jnp.float32)
+        state = VideoState(
+            zeros, zeros, jnp.zeros((0, 0, 0), jnp.float32),
+            temporal_init((c, geom.pad_h, wk), cfg.temporal),
+            jnp.int32(0),
+        )
+        outs, final_state = _magnify_chunk(frames, state, cfg)
+        first_out = unit_float(frames[0])[None]
+        return jnp.concatenate([first_out, outs[1:]], axis=0), final_state
     state = video_init(frames[0], cfg)
     first_out = unit_float(frames[0])[None]
     outs, final_state = _magnify_chunk(frames[1:], state, cfg)

@@ -48,6 +48,9 @@ def _pad_geometry(h, w, pad_mode="square_pow2"):
     if pad_mode == "square_pow2":
         n = _next_pow2(max(h, w))
         ph = pw = n
+    elif pad_mode == "tight":
+        # height -> smallest multiple of 128 (core.window.geometry_for)
+        ph, pw = max(-(-h // 128) * 128, 128), _next_pow2(w)
     else:
         ph, pw = _next_pow2(h), _next_pow2(w)
     return ph, pw, (ph - h) // 2, (pw - w) // 2

@@ -48,6 +48,7 @@ from pbmm_tpu.spectral.hermitian import (
 from pbmm_tpu.spectral.pallas_fft import (
     _LANE_BLOCK,
     _ROW_BLOCK,
+    _apply_intra_group,
     _dif_twiddles,
     _fft_stages,
     _intra_group_matrix,
@@ -219,6 +220,134 @@ def col_fft_zero_padded(re, im, pad_h: int, row0: int = 0,
     )(re, im, twr, twi, gr, gi)
 
 
+# ---------------------------------------------------------------------------
+# Mixed-radix (four-step) column transform for tight heights H = m * 128
+# ---------------------------------------------------------------------------
+#
+# The reference pads 1080 -> 2048 rows only because its radix-2 FFT needs
+# a power of two (`MotionMagnificationProcessor.cs:298-302,531-535`).  On
+# TPU any H = m*128 works: Cooley-Tukey H = m x 128 with the 128-point
+# factor as a dense per-block MXU matmul and the m-point factor as an
+# unrolled cross-block combine (m^2 complex scalar FMAs on (128, lanes)
+# slices).  1080p pads to 1152 = 9*128 — 0.5625x the column work and
+# spectrum bytes of the pow-2 rule.
+#
+# Layout ("fourstep"): position p = k1*128 + k2 holds frequency
+# k = k1 + m*k2 (k1 = block, k2 = within-block).  Forward: natural rows
+# in -> fourstep order out; inverse consumes fourstep and emits natural
+# rows — the permutations cancel across fwd -> phase -> inv exactly like
+# the row axis' bitrev DIF/DIT pairing.  Mask/weight planes are simply
+# evaluated at the fourstep frequencies (`col_freq_axis`).
+
+
+def _is_pow2(n: int) -> bool:
+    return n & (n - 1) == 0
+
+
+def col_freq_axis(n: int) -> np.ndarray:
+    """Centered normalized frequency of each COLUMN position in the
+    pipeline's working layout: bitrev for pow-2 heights, fourstep for
+    tight heights (n = m*128)."""
+    if _is_pow2(n):
+        return bitrev_freq_axis(n)
+    m = n // 128
+    assert m * 128 == n, f"tight height must be a multiple of 128: {n}"
+    p = np.arange(n)
+    k = (p // 128) + m * (p % 128)
+    v = k.astype(np.float64) / n
+    return np.where(v < 0.5, v, v - 1.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _dense_dft128(inverse: bool):
+    """Dense 128-point DFT matrix (re, im) f32: A[k, n] = W_128^{+-kn}.
+    The 128-factor of the four-step split — one MXU matmul per block via
+    `_apply_intra_group(axis=0)` (same b3 3-pass bf16 dots)."""
+    k = np.arange(128)[:, None]
+    n = np.arange(128)[None, :]
+    sign = +2.0 if inverse else -2.0
+    a = np.exp(sign * 1j * np.pi * (k * n % 128) / 128.0)
+    return a.real.astype(np.float32), a.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _fourstep_twiddle(h: int, inverse: bool):
+    """Per-sublane twiddle vector (re, im) of shape (h, 1):
+    tw[k1*128 + n2] = W_H^{+-k1*n2} — the cross-factor twiddle of the
+    four-step split (it depends only on the sublane index, so it is one
+    broadcast complex multiply in the kernel)."""
+    m = h // 128
+    p = np.arange(h)
+    k1 = p // 128
+    n2 = p % 128
+    sign = +2.0 if inverse else -2.0
+    w = np.exp(sign * 1j * np.pi * ((k1 * n2) % h) / float(h))
+    return (w.real.astype(np.float32)[:, None],
+            w.imag.astype(np.float32)[:, None])
+
+
+@functools.lru_cache(maxsize=16)
+def _combine_weights(m: int, inverse: bool):
+    """The m-point DFT scalars W_m^{+-k1*n1} as python float pairs,
+    embedded in the unrolled kernel combine (no refs: m^2 <= 256
+    complex constants)."""
+    sign = +2.0 if inverse else -2.0
+    out = {}
+    for k1 in range(m):
+        for n1 in range(m):
+            w = np.exp(sign * 1j * np.pi * ((k1 * n1) % m) / float(m))
+            out[(k1, n1)] = (float(w.real), float(w.imag))
+    return out
+
+
+def _block_dft_combine(re, im, m: int, inverse: bool):
+    """Cross-block m-point DFT on a (m*128, L) VMEM block: out block k1 =
+    sum_n1 W_m^{+-k1 n1} * in block n1.  Unrolled complex scalar FMAs on
+    128-row slices; exact-zero/one weights skip their multiplies."""
+    ws = _combine_weights(m, inverse)
+    blocks = [(re[n1 * 128:(n1 + 1) * 128], im[n1 * 128:(n1 + 1) * 128])
+              for n1 in range(m)]
+    outs_r, outs_i = [], []
+    for k1 in range(m):
+        acc_r = None
+        acc_i = None
+        for n1 in range(m):
+            wr, wi = ws[(k1, n1)]
+            xr, xi = blocks[n1]
+            if abs(wi) < 1e-30:
+                tr = xr if wr == 1.0 else (-xr if wr == -1.0 else xr * wr)
+                ti = xi if wr == 1.0 else (-xi if wr == -1.0 else xi * wr)
+            elif abs(wr) < 1e-30:
+                tr = -xi * wi
+                ti = xr * wi
+            else:
+                tr = xr * wr - xi * wi
+                ti = xr * wi + xi * wr
+            acc_r = tr if acc_r is None else acc_r + tr
+            acc_i = ti if acc_i is None else acc_i + ti
+        outs_r.append(acc_r)
+        outs_i.append(acc_i)
+    return jnp.concatenate(outs_r, axis=0), jnp.concatenate(outs_i, axis=0)
+
+
+def _fourstep_col(re, im, h: int, inverse: bool, twr_ref, twi_ref,
+                  dft_r, dft_i):
+    """Full four-step column transform on a (h, L) VMEM block.
+    Forward: combine -> twiddle -> per-block dense DFT-128 (natural in,
+    fourstep out).  Inverse: per-block inverse DFT-128 -> conj twiddle ->
+    conj combine (fourstep in, natural out, unnormalized)."""
+    m = h // 128
+    tr = twr_ref[:]
+    ti = twi_ref[:]
+    if not inverse:
+        re, im = _block_dft_combine(re, im, m, False)
+        re, im = re * tr - im * ti, re * ti + im * tr
+        return _apply_intra_group(re, im, dft_r, dft_i, 0)
+    re, im = _apply_intra_group(re, im, dft_r, dft_i, 0)
+    re, im = re * tr - im * ti, re * ti + im * tr
+    return _block_dft_combine(re, im, m, True)
+
+
 def _mask_params(cfg):
     """Static per-plane radial-profile parameters (kind, lo, hi,
     amplified) — from the single shared source of truth
@@ -281,7 +410,13 @@ def _atan2_poly(y, x):
     ax, ay = jnp.abs(x), jnp.abs(y)
     mx = jnp.maximum(ax, ay)
     mn = jnp.minimum(ax, ay)
-    t = mn / jnp.maximum(mx, jnp.float32(1e-38))
+    # The guard constant must be a NORMAL f32: 1e-38 is subnormal and
+    # flushes to zero under the TPU/XLA FTZ regime, turning the exact
+    # (0, 0) input (e.g. the zero-previous-spectrum bootstrap frame) into
+    # 0/0 = NaN that then contaminates the IIR low-pass taps.  1e-37 is
+    # normal; bins with 0 < |z| < 1e-37 are ~1e37x below the magnitude
+    # gate and pass through regardless.
+    t = mn / jnp.maximum(mx, jnp.float32(1e-37))
     v = t * t
     cs = _atan_poly_coeffs()
     acc = jnp.float32(cs[-1])
@@ -518,7 +653,7 @@ def _static_phase_planes(cfg, h: int, wk: int, full_w: int):
     accurate as the in-kernel polynomial path.  Steerable sector weights
     stay in-kernel (they are cheap since the trig-free rewrite and would
     need K planes)."""
-    fy = bitrev_freq_axis(h).astype(np.float64)[:, None]
+    fy = col_freq_axis(h).astype(np.float64)[:, None]
     if full_w is not None and full_w != wk:
         fx = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
     else:
@@ -1433,12 +1568,21 @@ def colspec_chunk(rows_re, rows_im, prev_re, prev_im, cfg,
     if iir and (lp_fast is None or lp_slow is None):
         raise ValueError("iir_bandpass needs lp_fast/lp_slow carry planes")
 
-    ftwr_np, ftwi_np = _dif_twiddles(h, False)
-    itwr_np, itwi_np = _dif_twiddles(h, True)
-    fgr_np, fgi_np = _intra_group_matrix(h, False)
-    igr_np, igi_np = _intra_group_matrix(h, True)
-    stages = ftwr_np.shape[0]
-    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]
+    pow2_h = _is_pow2(h)
+    if pow2_h:
+        ftwr_np, ftwi_np = _dif_twiddles(h, False)
+        itwr_np, itwi_np = _dif_twiddles(h, True)
+        fgr_np, fgi_np = _intra_group_matrix(h, False)
+        igr_np, igi_np = _intra_group_matrix(h, True)
+        stages = ftwr_np.shape[0]
+    else:
+        # Tight height H = m*128: four-step column transform (natural ->
+        # fourstep layout -> natural; see `_fourstep_col`).
+        ftwr_np, ftwi_np = _fourstep_twiddle(h, False)
+        itwr_np, itwi_np = _fourstep_twiddle(h, True)
+        fgr_np, fgi_np = _dense_dft128(False)
+        igr_np, igi_np = _dense_dft128(True)
+    fy = jnp.asarray(col_freq_axis(h))[:, None]
     if full_w is not None and full_w != w:
         fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
         fx = jnp.asarray(fx_np)[None, :]
@@ -1460,8 +1604,12 @@ def colspec_chunk(rows_re, rows_im, prev_re, prev_im, cfg,
                            memory_space=pltpu.VMEM)
     fx_spec = pl.BlockSpec((1, block_w), lambda ci, j, i: (0, j),
                            memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((stages, h), lambda ci, j, i: (0, 0),
-                           memory_space=pltpu.VMEM)
+    if pow2_h:
+        tw_spec = pl.BlockSpec((stages, h), lambda ci, j, i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        tw_spec = pl.BlockSpec((h, 1), lambda ci, j, i: (0, 0),
+                               memory_space=pltpu.VMEM)
     gm_spec = pl.BlockSpec((128, 128), lambda ci, j, i: (0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, r1 - r0, block_w),
@@ -1510,10 +1658,16 @@ def colspec_chunk(rows_re, rows_im, prev_re, prev_im, cfg,
                 slps[...] = state_refs[3][0]
 
         # Forward column FFT of the current frame (zero-embedded content
-        # slab) — bit-identical op sequence to `col_fft_zero_padded`.
-        cr, ci_ = _fft_stages(embed(rr_ref[0]), embed(ri_ref[0]), h, 0,
-                              False, ftwr_ref, ftwi_ref,
-                              gm=(fgr_ref[...], fgi_ref[...]))
+        # slab) — for pow-2 heights a bit-identical op sequence to
+        # `col_fft_zero_padded`; for tight heights the four-step split.
+        if pow2_h:
+            cr, ci_ = _fft_stages(embed(rr_ref[0]), embed(ri_ref[0]), h, 0,
+                                  False, ftwr_ref, ftwi_ref,
+                                  gm=(fgr_ref[...], fgi_ref[...]))
+        else:
+            cr, ci_ = _fourstep_col(embed(rr_ref[0]), embed(ri_ref[0]), h,
+                                    False, ftwr_ref, ftwi_ref,
+                                    fgr_ref[...], fgi_ref[...])
 
         static_planes = (tuple(p[...] for p in pls) if n_pl else None)
         if iir:
@@ -1534,8 +1688,12 @@ def colspec_chunk(rows_re, rows_im, prev_re, prev_im, cfg,
         spi[...] = ci_
         opr[0] = cr  # revisited block: the chunk's last spectrum leaves
         opi[0] = ci_
-        rr, ii = _fft_stages(mr, mi, h, 0, True, itwr_ref, itwi_ref,
-                             gm=(igr_ref[...], igi_ref[...]))
+        if pow2_h:
+            rr, ii = _fft_stages(mr, mi, h, 0, True, itwr_ref, itwi_ref,
+                                 gm=(igr_ref[...], igi_ref[...]))
+        else:
+            rr, ii = _fourstep_col(mr, mi, h, True, itwr_ref, itwi_ref,
+                                   igr_ref[...], igi_ref[...])
         ore[0] = rr[r0:r1]
         oim[0] = ii[r0:r1]
 
