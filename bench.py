@@ -252,6 +252,23 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
         temporal=TemporalConfig(mode="iir_bandpass")))
     log(f"iir-temporal (fused): {fmt(iir_fps)}")
 
+    # r5: tight geometry (1152x2048 instead of 2048^2 at 1080p — the
+    # four-step column kernel) and the u8 planar video pipeline (planar
+    # uint8 in -> planar out; chroma from u8 in the post kernel).  These
+    # are the production-video numbers; the headline above keeps the
+    # reference-parity configuration (square pow2, f32 interleaved
+    # textures) for cross-round comparability.
+    cfg_tight = cfg_tuned.replace(pad_mode="tight")
+    tight_fps = fps_of(frames_1080, cfg_tight)
+    log(f"tight-1080p (1152x2048): {fmt(tight_fps)}")
+    fr_u8 = np.clip(np.asarray(frames_1080) * 255.0, 0, 255).astype(
+        np.uint8)
+    planar = jax.device_put(np.moveaxis(fr_u8, -1, 1).copy())
+    u8_fps = fps_of(planar, cfg_tight.replace(output_layout="planar"))
+    log(f"u8-planar video pipeline (tight, planar f32 out): {fmt(u8_fps)}")
+    u8q_fps = fps_of(planar, cfg_tight.replace(output_layout="planar_u8"))
+    log(f"u8-planar video pipeline (tight, planar u8 out): {fmt(u8q_fps)}")
+
     # rect_pow2 trade: degenerate at 1080p (next_pow2(1080) = 2048 =
     # square), real at 720p (2048x1024 vs 2048x2048 = 2x fewer pixels).
     rng = np.random.default_rng(1)

@@ -1,5 +1,5 @@
 """Diagnose the batched chunk engine: time each sub-stage of
-`engine.video._chunk_batched` at T=16 1080p on hardware, vs the same work
+the batched chunk engine at T=16 1080p on hardware, vs the same work
 issued per-frame.  Usage: python benchmarks/bdiag.py [names...]
 """
 

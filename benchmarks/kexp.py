@@ -97,17 +97,16 @@ def main():
                                           full_w=wp),
         (re2, im2, pre_, pim))
 
-    # The production grouped stream (4 frames/step + static planes);
-    # divide the printed time by 4 for per-frame cost.
-    from pbmm_tpu.spectral.fused import phase_col_ifft_grouped
+    # The production spectrum-resident chunk kernel (r5, 8 frames per
+    # call, prev spectrum in VMEM scratch); divide the printed time by 8
+    # for per-frame cost.
+    from pbmm_tpu.spectral.fused import colspec_chunk
 
-    stream_re = jnp.concatenate(
-        [pre_] + [re2 + 0.1 * k for k in range(4)], axis=0)
-    stream_im = jnp.concatenate(
-        [pim] + [im2 + 0.1 * k for k in range(4)], axis=0)
-    exps["phase_grouped4"] = (
-        lambda a, b: phase_col_ifft_grouped(a, b, cfg, out_rows=rows,
-                                            full_w=wp, planes=1, group=4),
+    stream_re = jnp.concatenate([rek_d + 0.1 * k for k in range(8)], axis=0)
+    stream_im = jnp.concatenate([imk_d + 0.1 * k for k in range(8)], axis=0)
+    exps["colspec_chunk8"] = (
+        lambda a, b: colspec_chunk(a, b, pre_, pim, cfg, pad_h=hp,
+                                   row0=r0, out_rows=rows, full_w=wp),
         (stream_re, stream_im))
 
     # Mode variants of the phase kernel: the pyramid/standard fps gap

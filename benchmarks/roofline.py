@@ -70,11 +70,19 @@ def hot_path_stages(h: int = 1080, w: int = 1920, cfg=None):
     # (name, bytes_in, bytes_out, flops).  FLOPs keep the full-width
     # 5*N*log2(N) count for the row transforms (computed full-width in
     # VMEM) and scale the column transforms by the kept lanes.
+    #
+    # r5 path: the r4 k2/k3 pair (col-FFT write + phase-kernel re-read of
+    # the 2D spectrum, ~50-65 MB/frame) merged into ONE spectrum-resident
+    # chunk kernel (`colspec_chunk`) — per frame it reads only k1's
+    # content-row spectra and writes only the row-windowed inverse; the
+    # chunk-boundary state (prev spectrum in/out) is amortized over the
+    # chunk (T=16 assumed here).
+    t_amort = 16
     return [
         (
             "pre: rgb->yiq + pad slab",
             h * w * 3 * _F,
-            (3 * h * w + hc * wp) * _F,
+            (2 * h * w + hc * wp) * _F,  # I/Q planes + padded Y slab
             (9 + 3) * h * w,  # 3x3 matrix + moveaxis/scale
         ),
         (
@@ -84,22 +92,14 @@ def hot_path_stages(h: int = 1080, w: int = 1920, cfg=None):
             int(hc * 5 * wp * lg_w + 2 * hc * wp),
         ),
         (
-            "fwd col-FFT (zero-embed fused)",
-            2 * hc * wk * _F,
-            2 * hp * wk * _F,
-            int(wk * 5 * hp * lg_h),
+            "colspec: col-FFT + phase + col-IFFT (r5)",
+            2 * hc * wk * _F + (4 * hp * wk * _F) // t_amort,
+            2 * hr * wk * _F + (4 * hp * wk * _F) // t_amort,
+            int(2 * wk * 5 * hp * lg_h + hp * wk * 80),  # fwd+inv cols
+            #   + ~80 flop/bin phase chain
         ),
         (
-            "phase pass + col-IFFT (fused)",
-            # Grouped pair stream (G=4, r4): interior planes serve as both
-            # cur and prev within one grid step, so reads are (G+1)/G
-            # plane-pairs per frame instead of 2.
-            int(2.5 * hp * wk) * _F,
-            2 * hr * wk * _F,
-            int(hp * wk * 80 + wk * 5 * hp * lg_h),  # ~80 flop/bin phase
-        ),
-        (
-            "row-IFFT + post (merged, r4)",
+            "row-IFFT + post (merged)",
             (2 * hr * wk + 2 * h * w) * _F,  # phase-out rows + I/Q planes
             3 * h * w * _F,  # R/G/B planes; the reconstruction never
             #                  exists in HBM (rowifft_post_fused)
@@ -132,13 +132,11 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
 
     from pbmm_tpu.config import MagnifyConfig
     from pbmm_tpu.core.window import geometry_for
-    from pbmm_tpu.engine.pipeline import blur_row_window, posttail
+    from pbmm_tpu.engine.pipeline import blur_row_window
     from pbmm_tpu.spectral.fused import (
         aligned_row_window,
         col_fft_zero_padded,
-        phase_col_ifft,
-        phase_col_ifft_grouped,
-        row_ifft_magnitude,
+        colspec_chunk,
         windowed_row_fft,
     )
 
@@ -172,14 +170,14 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
     pre_, pim = re2 + 1.0, im2 + 1.0  # stand-in previous spectrum
     import jax.numpy as _jnp
 
-    # 5-plane pair stream (4 frames + 1 carried prev) for the grouped
-    # phase kernel; its stage time below is divided by 4.
-    stream_re = _jnp.concatenate(
-        [pre_[0:1]] + [re2 + 0.1 * k for k in range(4)], axis=0)
-    stream_im = _jnp.concatenate(
-        [pim[0:1]] + [im2 + 0.1 * k for k in range(4)], axis=0)
-    rre, rim = phase_col_ifft(re2, im2, pre_, pim, cfg, out_rows=rows,
-                              full_w=wp)
+    # T_M-frame row-spectrum stream for the spectrum-resident chunk
+    # kernel; its stage time below is divided by T_M.
+    T_M = 8
+    stream_re = _jnp.concatenate([re1 + 0.1 * k for k in range(T_M)], axis=0)
+    stream_im = _jnp.concatenate([im1 + 0.1 * k for k in range(T_M)], axis=0)
+    rre, rim, _, _ = colspec_chunk(
+        stream_re[:1], stream_im[:1], pre_, pim, cfg, pad_h=hp, row0=r0,
+        out_rows=rows, full_w=wp)
     from pbmm_tpu.core.window import hann2d_region
     from pbmm_tpu.engine.post_pallas import rowifft_post_fused
 
@@ -195,16 +193,13 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
         ("fwd row-FFT (Hann fused)",
          lambda x: windowed_row_fft(x, pad_h=hp, row0=r0, keep_half=keep),
          (slab,), True),
-        ("fwd col-FFT (zero-embed fused)",
-         lambda a, b: col_fft_zero_padded(a, b, pad_h=hp, row0=r0),
-         (re1, im1), True),
-        # Timed as the production GROUPED stream (4 frames/step) over a
-        # 5-plane stream, divided by 4 below via the per4 flag.
-        ("phase pass + col-IFFT (fused)",
-         lambda a, b: phase_col_ifft_grouped(a, b, cfg, out_rows=rows,
-                                             full_w=wp, planes=1, group=4),
+        # Timed as the production chunk stream (T_M frames per call, the
+        # prev spectrum carried in VMEM scratch), divided by T_M below.
+        ("colspec: col-FFT + phase + col-IFFT (r5)",
+         lambda a, b: colspec_chunk(a, b, pre_, pim, cfg, pad_h=hp,
+                                    row0=r0, out_rows=rows, full_w=wp),
          (stream_re, stream_im), True),
-        ("row-IFFT + post (merged, r4)",
+        ("row-IFFT + post (merged)",
          lambda a, b: rowifft_post_fused(
              a, b, i_plane, q_plane, win, cfg, rows[0], h, w,
              cfg.pad_mode, full_w=wp),
@@ -247,8 +242,8 @@ def measure_stages(h: int = 1080, w: int = 1920, cfg=None, reps: int = 20):
     for name, fn, args, opaque in stages:
         walls = [timed(fn, args, k, opaque) for k in ks]
         slope = np.polyfit(ks, walls, 1)[0]
-        if "phase" in name:
-            slope /= 4.0  # the grouped call processes 4 frames
+        if "colspec" in name:
+            slope /= float(T_M)  # the chunk call processes T_M frames
         results.append((name, max(slope, 1e-9)))
     return results
 

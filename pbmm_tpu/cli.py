@@ -29,7 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                                    "- | pbmm --input - --stream ...`)")
     p.add_argument("--demo", choices=["bar", "blob"],
                    help="generate a synthetic demo clip instead of --input")
-    p.add_argument("--output", required=True, help="output path (.npy/.npz)")
+    p.add_argument("--output", required=True,
+                   help="output path (.npy/.npz/.y4m), or '-' for a live "
+                        "y4m stream on stdout (with --stream: pipe to a "
+                        "player, e.g. `... --output - | mpv -`)")
     p.add_argument("--mode", default="pyramid", choices=["pyramid", "standard"])
     p.add_argument("--phase-scale", type=float, default=10.0)
     p.add_argument("--levels", type=int, default=5)
@@ -46,7 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bandpass", action="store_true")
     p.add_argument("--chroma", default="y_only", choices=["y_only", "rgb"])
     p.add_argument("--pad-mode", default="square_pow2",
-                   choices=["square_pow2", "rect_pow2"])
+                   choices=["square_pow2", "rect_pow2", "tight"],
+                   help="tight: height to the next 128 multiple (1080p -> "
+                        "1152x2048, 0.56x the reference's pixels; r5)")
     p.add_argument("--reconstruct", default="magnitude",
                    choices=["magnitude", "real"])
     p.add_argument("--temporal", default="two_frame",
@@ -269,6 +274,36 @@ def _run(args, frames, cfg) -> int:
             return 0
         from pbmm_tpu.io.stream import stream_magnify
 
+        if args.output == "-":
+            # Live pipe loop (r5): magnified frames leave on stdout as
+            # y4m AS EACH CHUNK COMPLETES — `ffmpeg ... -f yuv4mpegpipe -
+            # | pbmm --input - --stream --output - | mpv -` closes the
+            # reference's interactive per-frame contract as a process
+            # pipeline.  --chunk-frames 1 minimizes latency (one frame
+            # in, one frame out); --stats logs the per-chunk latency.
+            from pbmm_tpu.io.y4m import Y4MStreamWriter
+
+            writer = Y4MStreamWriter(sys.stdout.buffer)
+            n = 0
+            tc = time.perf_counter()
+            for chunk in stream_magnify(args.input, cfg,
+                                        chunk_frames=args.chunk_frames):
+                writer.write_chunk(chunk)
+                n += chunk.shape[0]
+                if args.stats:
+                    now = time.perf_counter()
+                    print(json.dumps(
+                        {"chunk_frames": int(chunk.shape[0]),
+                         "chunk_ms": round((now - tc) * 1e3, 2)}),
+                        file=sys.stderr)
+                    tc = now
+            if args.stats:
+                print(json.dumps({"frames": n,
+                                  "seconds": round(
+                                      time.perf_counter() - t0, 3),
+                                  "engine": "stream_pipe"}),
+                      file=sys.stderr)
+            return 0
         out = np.concatenate(
             list(stream_magnify(args.input, cfg,
                                 chunk_frames=args.chunk_frames))

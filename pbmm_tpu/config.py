@@ -122,7 +122,14 @@ class MagnifyConfig:
     # --- pre/post processing ---
     blur_size: float = 0.5
     pad_mode: str = "square_pow2"  # "square_pow2" (reference) | "rect_pow2"
+    #   | "tight" (height to the next 128 multiple — 1080p -> 1152x2048,
+    #   0.56x the reference's pixels; four-step column kernel, r5)
     chroma: str = "y_only"  # "y_only" (reference) | "rgb" (magnify all planes)
+    output_layout: str = "interleaved"  # "interleaved" ((T, H, W, 3) f32,
+    #   the reference's texture contract) | "planar" ((T, 3, H, W) f32,
+    #   written directly by the post kernel — no channel-interleave pass)
+    #   | "planar_u8" (same, quantized to uint8 — 1/4 the output bytes;
+    #   the y4m/display contract)
 
     # --- temporal filtering ---
     temporal: TemporalConfig = dataclasses.field(default_factory=TemporalConfig)
@@ -197,6 +204,8 @@ class MagnifyConfig:
             )
         if self.chroma not in ("y_only", "rgb"):
             raise ValueError(f"unknown chroma: {self.chroma!r}")
+        if self.output_layout not in ("interleaved", "planar", "planar_u8"):
+            raise ValueError(f"unknown output_layout: {self.output_layout!r}")
         if self.engine not in ("batched", "scan"):
             raise ValueError(f"unknown engine: {self.engine!r}")
         if self.pyramid_levels < 1:

@@ -40,12 +40,10 @@ from pbmm_tpu.phase.amplify import (
     pyramid_phase_amplify_procedural,
 )
 from pbmm_tpu.phase.pallas_kernels import (
-    pyramid_phase_amplify_pallas,
     pyramid_phase_amplify_pallas_procedural,
 )
 from pbmm_tpu.phase.standard import bandpass_weight_map_jnp, standard_phase_amplify
 from pbmm_tpu.phase.temporal import TemporalState, temporal_apply, temporal_init
-from pbmm_tpu.pyramid.filters import amplified_level_flags, filter_bank
 from pbmm_tpu.spectral.fft import (
     fft2_centered,
     ifft2_centered,
@@ -158,7 +156,7 @@ def preprocess(
 
 
 def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig,
-                  through_col: bool = True):
+                  through_col: bool = True, want_iq: bool = True):
     """Channels-last preprocess for the batched chunk engine:
     (T, H, W, 3) RGB -> (re, im, i_plane, q_plane).
 
@@ -166,6 +164,12 @@ def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig,
     (T[*3], Hc, Wk) content-row spectra): the spectrum-resident chunk
     engine (`spectral.fused.colspec_chunk`) runs the column stages
     itself, so the 2D spectrum never exists in HBM.
+
+    Planar input (r5): frames may be (T, 3, H, W) channel-planar (f32 or
+    uint8) — each YIQ plane is then a plane-wise FMA with no layout
+    change at all.  `want_iq=False` skips materializing the f32 I/Q
+    planes (the caller derives chroma from the uint8 planes inside the
+    post kernel); i_plane/q_plane return None.
 
     y_only chroma: re/im are the (T, Hp, Wk) row+col FFT of the windowed
     Y slab, and the original I/Q ride as (T, H, W) channels-last planes
@@ -190,18 +194,30 @@ def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig,
     )
 
     assert cfg.fft_backend == "pallas"
-    geom = geometry_for(frames.shape[-3], frames.shape[-2], cfg.pad_mode)
+    planar = frames.ndim == 4 and frames.shape[1] == 3 \
+        and frames.shape[-1] != 3
+    if planar:
+        h_in, w_in = frames.shape[-2], frames.shape[-1]
+    else:
+        h_in, w_in = frames.shape[-3], frames.shape[-2]
+    geom = geometry_for(h_in, w_in, cfg.pad_mode)
     keep = hermitian_active(cfg, geom)
     r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
     with jax.named_scope("pbmm.preprocess"):
         f = unit_float(frames)
         m = RGB_TO_YIQ
+        if planar:
+            rgb = (f[:, 0], f[:, 1], f[:, 2])
+        else:
+            rgb = (f[..., 0], f[..., 1], f[..., 2])
         planes = [
-            f[..., 0] * float(m[d, 0]) + f[..., 1] * float(m[d, 1])
-            + f[..., 2] * float(m[d, 2])
-            for d in range(3)
+            rgb[0] * float(m[d, 0]) + rgb[1] * float(m[d, 1])
+            + rgb[2] * float(m[d, 2])
+            for d in range(3 if (cfg.chroma == "rgb" or want_iq) else 1)
         ]
-        y, i_plane, q_plane = planes
+        y = planes[0]
+        i_plane = planes[1] if len(planes) > 1 else None
+        q_plane = planes[2] if len(planes) > 2 else None
         if cfg.chroma == "rgb":
             # (T, 3, H, W) plane stack -> flatten to (3T, H, W); the
             # stack is over the two MAJOR dims so no lane relayout.
@@ -276,22 +292,12 @@ def _amplify_spectrum_impl(cur_spec, prev_spec, cfg, temporal_state):
                 layout,
                 interpret=cfg.interpret_pallas,
             )
-        elif cfg.use_pallas and layout == "centered":
-            # Mask-plane kernel (centered-layout banks only; other layouts
-            # take the procedural XLA pass below, which is layout-aware).
-            masks = filter_bank(pad_h, pad_w, cfg)
-            flags = amplified_level_flags(cfg)
-            mod = pyramid_phase_amplify_pallas(
-                cur_spec,
-                prev_spec,
-                masks,
-                flags,
-                cfg.phase_scale,
-                cfg.magnitude_threshold,
-                delta_override=delta_override,
-                interpret=cfg.interpret_pallas,
-            )
         else:
+            # (r5) The old centered-layout mask-plane Pallas kernel was
+            # pruned: it was superseded by the procedural kernel above
+            # and by the fully-fused spectral path; configurations it
+            # served (delta overrides, non-128-aligned widths) take the
+            # layout-aware XLA procedural pass below.
             # Procedural masks: constant-free, fuses into one VPU pass.
             mod = pyramid_phase_amplify_procedural(
                 cur_spec,

@@ -194,12 +194,26 @@ def post_fused(chans, i_plane, q_plane, win, cfg, rows0: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "rows0", "in_h", "in_w",
                                              "pad_mode", "full_w",
-                                             "interpret"))
+                                             "out_layout", "interpret"))
 def rowifft_post_fused(rre, rim, i_plane, q_plane, win, cfg, rows0: int,
                        in_h: int, in_w: int, pad_mode: str,
-                       full_w=None, interpret: bool = False):
+                       full_w=None, rgb_u8=None,
+                       out_layout: str = "tuple3",
+                       interpret: bool = False):
     """(T, Hr, Wk) phase/col-IFFT output rows + (T, H, W) original I/Q
     planes + (H, W) crop-region Hann -> three (T, H, W) R, G, B planes.
+
+    r5 ingestion/emission fusion (VERDICT r4 ask 3):
+      rgb_u8: optional (T, 3, H, W) uint8 planar RGB frames — the
+        original-chroma I/Q are then computed IN KERNEL from the u8
+        planes (3 bytes/px read instead of 8 of f32 I/Q; `i_plane`/
+        `q_plane` must be None).  Replaces `RGBToYIQ.shader:46-50` at
+        the byte level for 8-bit sources.
+      out_layout: "tuple3" (three (T, H, W) f32 planes — the caller
+        stacks), "planar" (ONE (T, 3, H, W) f32 array written directly
+        by the kernel — no interleave pass ever runs), or "planar_u8"
+        (same, quantized round(255 x) to uint8 — 1/4 the output bytes;
+        the y4m/display contract).
 
     The r4 deepest fusion on the tail: the row-axis IFFT (Hermitian
     rebuild + all log2(W) stages + |z|) runs INSIDE the post kernel on
@@ -242,6 +256,10 @@ def rowifft_post_fused(rre, rim, i_plane, q_plane, win, cfg, rows0: int,
 
     grid = (t, in_h // ob)
     nb = -(-hr // ib)
+    u8_chroma = rgb_u8 is not None
+    if u8_chroma:
+        assert i_plane is None and q_plane is None
+    from pbmm_tpu.core.color import RGB_TO_YIQ
 
     # sp_a: block 0 only (j-constant index map -> fetched once per frame,
     # consumed by the j==0 scratch bootstrap); sp_b: block j+1 (the one
@@ -254,14 +272,30 @@ def rowifft_post_fused(rre, rim, i_plane, q_plane, win, cfg, rows0: int,
         memory_space=pltpu.VMEM)
     iq_spec = pl.BlockSpec((1, ob, in_w), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
+    u8_spec = pl.BlockSpec((1, 3, ob, in_w), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
     win_spec = pl.BlockSpec((ob, in_w), lambda i, j: (j, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, ob, in_w), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
+    pl_out_spec = pl.BlockSpec((1, 3, ob, in_w), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM)
 
-    def kernel(ra, ia_, rb, ib2, i_ref, q_ref, w_ref, *rest):
+    def kernel(ra, ia_, rb, ib2, *rest):
+        if u8_chroma:
+            u8_ref = rest[0]
+            rest = rest[1:]
+        else:
+            i_ref, q_ref = rest[:2]
+            rest = rest[2:]
+        w_ref = rest[0]
+        rest = rest[1:]
         extra_refs = rest[:len(extra_inputs)]
-        r_ref, g_ref, b_ref, sc_ref = rest[len(extra_inputs):]
+        rest = rest[len(extra_inputs):]
+        if out_layout == "tuple3":
+            r_ref, g_ref, b_ref, sc_ref = rest
+        else:
+            o_ref, sc_ref = rest
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -282,8 +316,22 @@ def rowifft_post_fused(rre, rim, i_plane, q_plane, win, cfg, rows0: int,
         y = pltpu.roll(vb, wp - x0, 1)[:, :in_w]
 
         wn = w_ref[...]
-        iw = i_ref[0] * wn
-        qw = q_ref[0] * wn
+        if u8_chroma:
+            # Original-chroma I/Q from the uint8 planes, in VMEM: the
+            # RGBToYIQ rows 1-2 FMA'd with the 1/255 scale folded in.
+            # (Mosaic has no u8 -> f32 cast; go through i32.)
+            ru = u8_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+            gu = u8_ref[0, 1].astype(jnp.int32).astype(jnp.float32)
+            bu = u8_ref[0, 2].astype(jnp.int32).astype(jnp.float32)
+            s = 1.0 / 255.0
+            my = RGB_TO_YIQ
+            iw = (ru * float(my[1, 0] * s) + gu * float(my[1, 1] * s)
+                  + bu * float(my[1, 2] * s)) * wn
+            qw = (ru * float(my[2, 0] * s) + gu * float(my[2, 1] * s)
+                  + bu * float(my[2, 2] * s)) * wn
+        else:
+            iw = i_ref[0] * wn
+            qw = q_ref[0] * wn
         if comp:
             inv = 1.0 / jnp.maximum(wn, 1e-3)
             y = y * inv
@@ -292,25 +340,57 @@ def rowifft_post_fused(rre, rim, i_plane, q_plane, win, cfg, rows0: int,
         y = y * jnp.float32(gains[0])
         iw = iw * jnp.float32(gains[1])
         qw = qw * jnp.float32(gains[2])
-        for d, o_ref in enumerate((r_ref, g_ref, b_ref)):
-            o_ref[0] = jnp.clip(
-                y * float(m[d, 0]) + iw * float(m[d, 1])
-                + qw * float(m[d, 2]), 0.0, 1.0)
+        chans = [
+            jnp.clip(y * float(m[d, 0]) + iw * float(m[d, 1])
+                     + qw * float(m[d, 2]), 0.0, 1.0)
+            for d in range(3)
+        ]
+        if out_layout == "tuple3":
+            for ch, o in zip(chans, (r_ref, g_ref, b_ref)):
+                o[0] = ch
+        elif out_layout == "planar":
+            for d in range(3):
+                o_ref[0, d] = chans[d]
+        else:  # planar_u8
+            for d in range(3):
+                # f32 -> i32 -> u8 (no direct f32 -> u8 cast in Mosaic);
+                # chans are clipped to [0, 1] so the i32 value fits u8.
+                o_ref[0, d] = jnp.round(
+                    chans[d] * 255.0).astype(jnp.int32).astype(jnp.uint8)
 
-    out_shape = jax.ShapeDtypeStruct((t, in_h, in_w), jnp.float32)
+    in_specs = [sp_a, sp_a, sp_b, sp_b]
+    inputs = [rre, rim, rre, rim]
+    if u8_chroma:
+        in_specs.append(u8_spec)
+        inputs.append(rgb_u8)
+    else:
+        in_specs += [iq_spec, iq_spec]
+        inputs += [i_plane, q_plane]
+    in_specs.append(win_spec)
+    inputs.append(win)
+    in_specs += list(extra_specs)
+    inputs += list(extra_inputs)
+
+    if out_layout == "tuple3":
+        out_shape3 = jax.ShapeDtypeStruct((t, in_h, in_w), jnp.float32)
+        out_specs = (out_spec, out_spec, out_spec)
+        out_shape = (out_shape3, out_shape3, out_shape3)
+    else:
+        dt = jnp.uint8 if out_layout == "planar_u8" else jnp.float32
+        out_specs = pl_out_spec
+        out_shape = jax.ShapeDtypeStruct((t, 3, in_h, in_w), dt)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[sp_a, sp_a, sp_b, sp_b, iq_spec, iq_spec, win_spec]
-        + list(extra_specs),
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((ib, wp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(rre, rim, rre, rim, i_plane, q_plane, win, *extra_inputs)
+    )(*inputs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "rows0", "in_h", "in_w",

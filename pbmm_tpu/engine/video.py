@@ -35,6 +35,34 @@ from pbmm_tpu.engine.pipeline import (
 from pbmm_tpu.phase.temporal import TemporalState, temporal_init
 
 
+def _norm_shape(frames):
+    """Shape normalized to the interleaved convention (T, H, W, 3) for
+    the engine-eligibility predicates."""
+    if _is_planar(frames):
+        t, _, h, w = frames.shape
+        return (t, h, w, 3)
+    return frames.shape
+
+
+def _is_planar(frames) -> bool:
+    """(T, 3, H, W) channel-planar input (vs the reference's interleaved
+    (T, H, W, 3) texture layout).  Planar is the y4m/video-file native
+    layout; with uint8 dtype it feeds the post kernel's in-VMEM chroma
+    path (r5)."""
+    return (frames.ndim == 4 and frames.shape[1] == 3
+            and frames.shape[-1] != 3)
+
+
+def _emit(chans_cf: jnp.ndarray, cfg: MagnifyConfig) -> jnp.ndarray:
+    """Channels-first (..., 3, H, W) f32 in [0,1] -> the configured
+    output layout."""
+    if cfg.output_layout == "interleaved":
+        return jnp.moveaxis(chans_cf, -3, -1)
+    if cfg.output_layout == "planar":
+        return chans_cf
+    return jnp.round(chans_cf * 255.0).astype(jnp.uint8)
+
+
 class VideoState(NamedTuple):
     """Scan carry / checkpointable pipeline state. f32/i32 leaves only."""
 
@@ -90,14 +118,12 @@ def video_step(
             cur_spec, prev_spec, cfg, out_rows=rows, full_w=geom.pad_w,
             temporal_state=state.temporal,
         )
-        out = jnp.moveaxis(
-            posttail(chans, cur_yiq, cfg, row0=rows[0]), -3, -1
-        )
+        out = _emit(posttail(chans, cur_yiq, cfg, row0=rows[0]), cfg)
     else:
         mod_spec, new_temporal = amplify_spectrum(
             cur_spec, prev_spec, cfg, state.temporal
         )
-        out = jnp.moveaxis(postprocess(mod_spec, cur_yiq, cfg), -3, -1)
+        out = _emit(postprocess(mod_spec, cur_yiq, cfg), cfg)
 
     if cfg.cache_prev_spectrum:
         sre, sim = jnp.real(cur_spec), jnp.imag(cur_spec)
@@ -111,81 +137,16 @@ def video_step(
     return new_state, out
 
 
-def _batched_ok(cfg: MagnifyConfig, frame_shape) -> bool:
-    """Whether the scan-free batched chunk engine serves this config: the
-    fused spectral path in two-frame mode with the previous spectrum
-    cached.  (The IIR temporal carry is sequential -> scan; the no-cache
-    parity mode re-FFTs the previous frame -> scan.)"""
-    from pbmm_tpu.core.window import geometry_for
-    from pbmm_tpu.engine.pipeline import hermitian_active
-    from pbmm_tpu.spectral.hermitian import hermitian_kept_width
-
-    if not (cfg.cache_prev_spectrum and cfg.temporal.mode == "two_frame"):
-        return False
-    geom = geometry_for(frame_shape[-3], frame_shape[-2], cfg.pad_mode)
-    wk = (hermitian_kept_width(geom.pad_w)
-          if hermitian_active(cfg, geom) else geom.pad_w)
-    return fused_reconstruct_ok(cfg, (geom.pad_h, wk))
-
-
-def _chunk_batched(frames, state: VideoState, cfg: MagnifyConfig):
-    """Whole-chunk processing with NO per-frame scan: every frame's FFT
-    runs in one batched dispatch, and the phase/col-IFFT kernel reads the
-    frame-pair stream through shifted index maps over ONE array
-    (`phase_col_ifft(pair_offset=...)`) — the previous frame's spectrum is
-    just the preceding planes.  Removes the scan glue the per-frame
-    carry costs (frame unstack, output stack, carried-spectrum copies,
-    ~0.15 ms/frame at 1080p) while computing the identical math.
-
-    For y_only chroma the pre/post stages run transpose-free: channels-
-    last Y/I/Q extraction (`preprocess_cl`) and the fused Pallas post
-    kernel (`engine.post_pallas`) when the geometry qualifies."""
-    from pbmm_tpu.core.window import geometry_for
-    from pbmm_tpu.engine.pipeline import blur_row_window, preprocess_cl
-    from pbmm_tpu.spectral.fused import phase_col_ifft
-
-    t = frames.shape[0]
-    h, w = frames.shape[-3], frames.shape[-2]
-    geom = geometry_for(h, w, cfg.pad_mode)
-    rows = blur_row_window(geom, cfg)
-    rgb = cfg.chroma == "rgb"
-    c = 3 if rgb else 1
-    sre, sim, i_plane, q_plane = preprocess_cl(frames, cfg)
-    flat_re = jnp.concatenate([state.prev_spec_re, sre], axis=0)
-    flat_im = jnp.concatenate([state.prev_spec_im, sim], axis=0)
-    with jax.named_scope("pbmm.phase_ifft_fused"):
-        # Grouped stream: up to 4 frames per grid step — interior planes
-        # fetched once per step (fewer spectra reads) and the static
-        # phase planes amortize across the chunk.
-        grp = 4 if (t * c) % 4 == 0 else (2 if (t * c) % 2 == 0 else 0)
-        if grp:
-            from pbmm_tpu.spectral.fused import phase_col_ifft_grouped
-
-            rre, rim = phase_col_ifft_grouped(
-                flat_re, flat_im, cfg, out_rows=rows,
-                full_w=geom.pad_w, planes=c, group=grp,
-                interpret=cfg.interpret_pallas,
-            )
-        else:
-            rre, rim = phase_col_ifft(
-                flat_re, flat_im, None, None, cfg, out_rows=rows,
-                full_w=geom.pad_w, pair_offset=c,
-                interpret=cfg.interpret_pallas,
-            )
-        outs = _tail_block(rre, rim, i_plane, q_plane, cfg, geom, rows,
-                           t, h, w)
-    new_state = VideoState(
-        sre[-c:], sim[-c:], state.prev_frame,
-        state.temporal, state.frame_idx + jnp.int32(t),
-    )
-    return outs, new_state
-
-
-def _tail_block(rre, rim, i_plane, q_plane, cfg, geom, rows, t, h, w):
+def _tail_block(rre, rim, i_plane, q_plane, cfg, geom, rows, t, h, w,
+                rgb_u8=None):
     """Pipeline tail from the phase/col-IFFT outputs to RGB frames: the
     merged row-IFFT+post kernel where it serves (y_only + fused post
     geometry — the real reconstruction never exists in HBM, r4), else
-    the two-kernel row-IFFT -> post chain."""
+    the two-kernel row-IFFT -> post chain.
+
+    rgb_u8: optional (T, 3, H, W) uint8 planar source frames — the fused
+    kernel then derives the original-chroma I/Q in VMEM (r5); the
+    configured `output_layout` is written directly by the kernel."""
     from pbmm_tpu.core.window import hann2d_region
     from pbmm_tpu.engine.post_pallas import post_pallas_ok, rowifft_post_fused
     from pbmm_tpu.spectral.fused import row_ifft_magnitude
@@ -193,12 +154,30 @@ def _tail_block(rre, rim, i_plane, q_plane, cfg, geom, rows, t, h, w):
     hr = rows[1] - rows[0]
     if cfg.chroma != "rgb" and post_pallas_ok(geom, cfg, rows[0], hr):
         win = hann2d_region(geom)
-        rp, gp, bp = rowifft_post_fused(
-            rre, rim, i_plane, q_plane, win, cfg, rows[0], h, w,
-            cfg.pad_mode, full_w=geom.pad_w,
+        out_layout = {"interleaved": "tuple3", "planar": "planar",
+                      "planar_u8": "planar_u8"}[cfg.output_layout]
+        res = rowifft_post_fused(
+            rre, rim,
+            None if rgb_u8 is not None else i_plane,
+            None if rgb_u8 is not None else q_plane,
+            win, cfg, rows[0], h, w,
+            cfg.pad_mode, full_w=geom.pad_w, rgb_u8=rgb_u8,
+            out_layout=out_layout,
             interpret=cfg.interpret_pallas,
         )
-        return jnp.stack([rp, gp, bp], axis=-1)
+        if out_layout == "tuple3":
+            return jnp.stack(list(res), axis=-1)
+        return res
+    if rgb_u8 is not None and i_plane is None:
+        # Fallback tail: derive the f32 I/Q planes once in XLA.
+        from pbmm_tpu.core.color import RGB_TO_YIQ
+
+        f = rgb_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        m = RGB_TO_YIQ
+        i_plane = (f[:, 0] * float(m[1, 0]) + f[:, 1] * float(m[1, 1])
+                   + f[:, 2] * float(m[1, 2]))
+        q_plane = (f[:, 0] * float(m[2, 0]) + f[:, 1] * float(m[2, 1])
+                   + f[:, 2] * float(m[2, 2]))
     rec = row_ifft_magnitude(
         rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
         pad_h=geom.pad_h, full_w=geom.pad_w,
@@ -217,8 +196,6 @@ def _colspec_ok(cfg: MagnifyConfig, frame_shape) -> bool:
     from pbmm_tpu.engine.pipeline import hermitian_active
     from pbmm_tpu.spectral.hermitian import hermitian_kept_width
 
-    if _os.environ.get("PBMM_COLCHUNK", "1") == "0":
-        return False
     if not (cfg.cache_prev_spectrum
             and cfg.temporal.mode in ("two_frame", "iir_bandpass")):
         return False
@@ -242,15 +219,24 @@ def _chunk_colspec(frames, state: VideoState, cfg: MagnifyConfig):
     from pbmm_tpu.spectral.fused import colspec_chunk
 
     t = frames.shape[0]
-    h, w = frames.shape[-3], frames.shape[-2]
+    _, h, w, _ = _norm_shape(frames)
     geom = geometry_for(h, w, cfg.pad_mode)
     rows = blur_row_window(geom, cfg)
     c = 3 if cfg.chroma == "rgb" else 1
     from pbmm_tpu.spectral.fused import aligned_row_window
 
     r0, _ = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
+    # uint8 planar sources feed the post kernel's in-VMEM chroma path —
+    # the f32 I/Q planes are never materialized (r5).
+    from pbmm_tpu.engine.post_pallas import post_pallas_ok
+
+    rgb_u8 = None
+    if (_is_planar(frames) and frames.dtype == jnp.uint8
+            and cfg.chroma != "rgb"
+            and post_pallas_ok(geom, cfg, rows[0], rows[1] - rows[0])):
+        rgb_u8 = frames
     rre_rows, rim_rows, i_plane, q_plane = preprocess_cl(
-        frames, cfg, through_col=False
+        frames, cfg, through_col=False, want_iq=rgb_u8 is None
     )
     iir = cfg.temporal.mode == "iir_bandpass"
     lp_kw = {}
@@ -271,101 +257,9 @@ def _chunk_colspec(frames, state: VideoState, cfg: MagnifyConfig):
             rres, rims, npr, npi = res
             new_temporal = state.temporal
         outs = _tail_block(rres, rims, i_plane, q_plane, cfg, geom, rows,
-                           t, h, w)
+                           t, h, w, rgb_u8=rgb_u8)
     new_state = VideoState(
         npr, npi, state.prev_frame, new_temporal,
-        state.frame_idx + jnp.int32(t),
-    )
-    return outs, new_state
-
-
-def _batched_iir_ok(cfg: MagnifyConfig, frame_shape) -> bool:
-    """Whether the hybrid IIR chunk engine serves this config: fused
-    spectral path with the IIR temporal mode and cached spectra.  Only
-    the phase/col-IFFT stage is truly sequential (the IIR low-pass carry);
-    everything else batches."""
-    from pbmm_tpu.core.window import geometry_for
-    from pbmm_tpu.engine.pipeline import hermitian_active
-    from pbmm_tpu.spectral.hermitian import hermitian_kept_width
-
-    if not (cfg.cache_prev_spectrum
-            and cfg.temporal.mode == "iir_bandpass"):
-        return False
-    geom = geometry_for(frame_shape[-3], frame_shape[-2], cfg.pad_mode)
-    wk = (hermitian_kept_width(geom.pad_w)
-          if hermitian_active(cfg, geom) else geom.pad_w)
-    return fused_reconstruct_ok(cfg, (geom.pad_h, wk))
-
-
-def _chunk_batched_iir(frames, state: VideoState, cfg: MagnifyConfig):
-    """Hybrid chunk engine for the streaming IIR temporal mode (r4): the
-    pre stage and both forward FFTs run as ONE batched dispatch over the
-    whole chunk, a `lax.scan` threads the sequential IIR low-pass carry
-    through per-frame phase/col-IFFT kernel calls, and the row-IFFT +
-    post stages batch again over the scan's stacked outputs.  The scan
-    engine pays the per-frame glue on EVERY stage; here it remains only
-    around the one stage whose math is inherently sequential."""
-    from pbmm_tpu.core.window import geometry_for
-    from pbmm_tpu.engine.pipeline import blur_row_window, preprocess_cl
-    from pbmm_tpu.spectral.fused import (
-        phase_col_ifft_at,
-        phase_col_ifft_iir_chunk,
-    )
-
-    t = frames.shape[0]
-    h, w = frames.shape[-3], frames.shape[-2]
-    geom = geometry_for(h, w, cfg.pad_mode)
-    rows = blur_row_window(geom, cfg)
-    rgb = cfg.chroma == "rgb"
-    c = 3 if rgb else 1
-    sre, sim, i_plane, q_plane = preprocess_cl(frames, cfg)
-    all_re = jnp.concatenate([state.prev_spec_re, sre], axis=0)
-    all_im = jnp.concatenate([state.prev_spec_im, sim], axis=0)
-
-    if c == 1:
-        # The whole chunk's sequential recurrence runs INSIDE one kernel
-        # (frame axis inner, lp/prev state in VMEM scratch per lane
-        # block): zero per-frame HBM state traffic, no scan glue.
-        with jax.named_scope("pbmm.phase_ifft_fused"):
-            rres, rims, nlpf, nlps = phase_col_ifft_iir_chunk(
-                all_re, all_im,
-                state.temporal.lp_fast, state.temporal.lp_slow, cfg,
-                out_rows=rows, full_w=geom.pad_w,
-                interpret=cfg.interpret_pallas,
-            )
-            outs = _tail_block(rres, rims, i_plane, q_plane, cfg, geom,
-                               rows, t, h, w)
-        new_state = VideoState(
-            sre[-1:], sim[-1:], state.prev_frame,
-            TemporalState(nlpf, nlps),
-            state.frame_idx + jnp.int32(t),
-        )
-        return outs, new_state
-
-    def step(carry, i):
-        lpf, lps = carry
-        # The kernel addresses frame i's planes in the chunk stream via
-        # a scalar-prefetch index map — no dynamic-slice copies.
-        rre, rim, nlpf, nlps = phase_col_ifft_at(
-            all_re, all_im, lpf, lps, i, cfg, out_rows=rows,
-            full_w=geom.pad_w, planes=c,
-            interpret=cfg.interpret_pallas,
-        )
-        return (nlpf, nlps), (rre, rim)
-
-    init = (state.temporal.lp_fast, state.temporal.lp_slow)
-    (nlpf, nlps), (rres, rims) = jax.lax.scan(
-        step, init, jnp.arange(t, dtype=jnp.int32)
-    )
-    hr = rows[1] - rows[0]
-    wk = rres.shape[-1]
-    with jax.named_scope("pbmm.phase_ifft_fused"):
-        outs = _tail_block(
-            rres.reshape((t * c, hr, wk)), rims.reshape((t * c, hr, wk)),
-            i_plane, q_plane, cfg, geom, rows, t, h, w)
-    new_state = VideoState(
-        sre[-c:], sim[-c:], state.prev_frame,
-        TemporalState(nlpf, nlps),
         state.frame_idx + jnp.int32(t),
     )
     return outs, new_state
@@ -394,25 +288,20 @@ def _post_block(rec, i_plane, q_plane, cfg, geom, rows, t, h, w):
                 rec, i_plane, q_plane, win, cfg, rows[0], h, w,
                 cfg.pad_mode, interpret=cfg.interpret_pallas,
             )
-        return jnp.stack([rp, gp, bp], axis=-1)
+        return _emit(jnp.stack([rp, gp, bp], axis=-3), cfg)
     if rgb:
         chans = rec.reshape((t, 3, hr, geom.pad_w))
         # posttail's rgb branch reads yiq_small only for geometry; the
         # zero array is unused -> DCE'd by XLA.
-        return jnp.moveaxis(
+        return _emit(
             posttail(chans, jnp.zeros((t, 3, h, w), jnp.float32), cfg,
-                     row0=rows[0]), -3, -1)
+                     row0=rows[0]), cfg)
     chans = rec.reshape((t, 1, hr, geom.pad_w))
     yiq3 = jnp.stack([i_plane, i_plane, q_plane], axis=-3)
-    return jnp.moveaxis(posttail(chans, yiq3, cfg, row0=rows[0]), -3, -1)
+    return _emit(posttail(chans, yiq3, cfg, row0=rows[0]), cfg)
 
 
 import os as _os
-
-_chunk_batched_jit = functools.partial(jax.jit, static_argnames=("cfg",))(
-    lambda frames, state, cfg: _chunk_batched(frames, state, cfg)
-)
-
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _chunk_scan(frames, state: VideoState, cfg: MagnifyConfig):
@@ -433,11 +322,6 @@ def _use_batched(cfg: MagnifyConfig) -> bool:
     return cfg.engine == "batched"
 
 
-_chunk_batched_iir_jit = functools.partial(
-    jax.jit, static_argnames=("cfg",)
-)(lambda frames, state, cfg: _chunk_batched_iir(frames, state, cfg))
-
-
 _chunk_colspec_jit = functools.partial(
     jax.jit, static_argnames=("cfg",)
 )(lambda frames, state, cfg: _chunk_colspec(frames, state, cfg))
@@ -448,13 +332,10 @@ def _tight_pallas(cfg: MagnifyConfig) -> bool:
 
 
 def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
+    shape = _norm_shape(frames)
     if _use_batched(cfg) and frames.shape[0] > 0:
-        if _colspec_ok(cfg, frames.shape):
+        if _colspec_ok(cfg, shape):
             return _chunk_colspec_jit(frames, state, cfg)
-        if _batched_ok(cfg, frames.shape):
-            return _chunk_batched_jit(frames, state, cfg)
-        if _batched_iir_ok(cfg, frames.shape):
-            return _chunk_batched_iir_jit(frames, state, cfg)
     if _tight_pallas(cfg):
         # The per-frame Pallas kernels are pow-2-only on the column axis;
         # only the spectrum-resident chunk engine carries the four-step
@@ -470,7 +351,9 @@ def _magnify_chunk(frames, state: VideoState, cfg: MagnifyConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _magnify_bootstrap(frames, cfg: MagnifyConfig):
-    if _tight_pallas(cfg) and _colspec_ok(cfg, frames.shape):
+    shape = _norm_shape(frames)
+    if ((_tight_pallas(cfg) or _is_planar(frames))
+            and _colspec_ok(cfg, shape)):
         # Tight-height bootstrap: `video_init`'s standalone column FFT is
         # pow-2-only, so frame 0 runs THROUGH the chunk kernel against a
         # zero previous spectrum instead.  Every gate sees |prev| = 0 < tau
@@ -483,8 +366,7 @@ def _magnify_bootstrap(frames, cfg: MagnifyConfig):
         from pbmm_tpu.engine.pipeline import hermitian_active
         from pbmm_tpu.spectral.hermitian import hermitian_kept_width
 
-        geom = geometry_for(frames.shape[-3], frames.shape[-2],
-                            cfg.pad_mode)
+        geom = geometry_for(shape[-3], shape[-2], cfg.pad_mode)
         wk = (hermitian_kept_width(geom.pad_w)
               if hermitian_active(cfg, geom) else geom.pad_w)
         c = 3 if cfg.chroma == "rgb" else 1
@@ -495,12 +377,20 @@ def _magnify_bootstrap(frames, cfg: MagnifyConfig):
             jnp.int32(0),
         )
         outs, final_state = _magnify_chunk(frames, state, cfg)
-        first_out = unit_float(frames[0])[None]
+        first_out = _first_passthrough(frames, cfg)
         return jnp.concatenate([first_out, outs[1:]], axis=0), final_state
     state = video_init(frames[0], cfg)
-    first_out = unit_float(frames[0])[None]
+    first_out = _first_passthrough(frames, cfg)
     outs, final_state = _magnify_chunk(frames[1:], state, cfg)
     return jnp.concatenate([first_out, outs], axis=0), final_state
+
+
+def _first_passthrough(frames, cfg: MagnifyConfig):
+    """Frame 0 in the configured output layout (the reference's
+    first-frame bootstrap emits the source frame unmodified)."""
+    cf = (unit_float(frames[0]) if _is_planar(frames)
+          else jnp.moveaxis(unit_float(frames[0]), -1, -3))
+    return _emit(cf, cfg)[None]
 
 
 def magnify_video(
@@ -522,17 +412,27 @@ def magnify_video(
     with the same shapes/config dispatch without retracing.
     """
     frames = jnp.asarray(frames)
+    if _is_planar(frames) and not (
+        _use_batched(cfg) and _colspec_ok(cfg, _norm_shape(frames))
+    ):
+        # Planar input is first-class only on the spectrum-resident chunk
+        # engine; every other path takes the interleaved layout.
+        frames = jnp.moveaxis(frames, 1, -1)
     if not cfg.apply_motion_magnification:
         # Reference bypass: frames pass through untouched, but the previous
         # frame keeps being tracked so re-enabling magnification mid-stream
         # pairs with the true predecessor
         # (`MotionMagnificationProcessor.cs:126-139,142`).
-        new_state = _bypass_state(frames, cfg)
+        new_state = _bypass_state(
+            jnp.moveaxis(frames, 1, -1) if _is_planar(frames) else frames,
+            cfg)
         if state is not None:
             new_state = new_state._replace(
                 frame_idx=state.frame_idx + jnp.int32(frames.shape[0])
             )
-        return unit_float(frames), new_state
+        cf = (unit_float(frames) if _is_planar(frames)
+              else jnp.moveaxis(unit_float(frames), -1, -3))
+        return _emit(cf, cfg), new_state
     if state is None:
         return _magnify_bootstrap(frames, cfg)
     return _magnify_chunk(frames, state, cfg)
@@ -540,5 +440,25 @@ def magnify_video(
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _bypass_state(frames, cfg: MagnifyConfig) -> VideoState:
+    if _tight_pallas(cfg):
+        # video_init's standalone column FFT is pow-2-only; carry a zero
+        # spectrum instead.  Re-enabling magnification mid-stream then
+        # passes the first frame through (every gate sees |prev| = 0),
+        # which is the reference's own first-frame behavior.
+        from pbmm_tpu.core.window import geometry_for
+        from pbmm_tpu.engine.pipeline import hermitian_active
+        from pbmm_tpu.spectral.hermitian import hermitian_kept_width
+
+        geom = geometry_for(frames.shape[-3], frames.shape[-2],
+                            cfg.pad_mode)
+        wk = (hermitian_kept_width(geom.pad_w)
+              if hermitian_active(cfg, geom) else geom.pad_w)
+        c = 3 if cfg.chroma == "rgb" else 1
+        zeros = jnp.zeros((c, geom.pad_h, wk), jnp.float32)
+        return VideoState(
+            zeros, zeros, jnp.zeros((0, 0, 0), jnp.float32),
+            temporal_init((c, geom.pad_h, wk), cfg.temporal),
+            jnp.int32(frames.shape[0]),
+        )
     state = video_init(frames[-1], cfg)
     return state._replace(frame_idx=jnp.int32(frames.shape[0]))

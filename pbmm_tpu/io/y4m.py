@@ -161,6 +161,55 @@ def load_y4m(path: str) -> np.ndarray:
     return np.stack(frames)
 
 
+class Y4MStreamWriter:
+    """Incremental y4m writer for the live pipe loop (r5): header on the
+    first chunk, then frames as they are produced — the downstream
+    consumer (a player, ffmpeg) starts rendering before the stream ends.
+
+        ffmpeg -i in.mp4 -f yuv4mpegpipe - \
+          | python -m pbmm_tpu.cli --input - --stream --output - \
+          | mpv -
+
+    closes the reference's interactive per-frame loop
+    (`OnRenderImage`, `MotionMagnificationProcessor.cs:101`) as a
+    process pipeline.  Accepts interleaved (n, H, W, 3) f32/u8 or planar
+    (n, 3, H, W) chunks.
+    """
+
+    def __init__(self, f, fps: Tuple[int, int] = (30, 1),
+                 colorspace: str = "444"):
+        self._f = f
+        self._fps = fps
+        self._cs = colorspace
+        self._started = False
+
+    def write_chunk(self, frames: np.ndarray) -> None:
+        frames = np.asarray(frames)
+        if frames.ndim == 4 and frames.shape[1] == 3 \
+                and frames.shape[-1] != 3:
+            frames = np.moveaxis(frames, 1, -1)
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        t, h, w = frames.shape[:3]
+        cw, ch = _chroma_dims(w, h, self._cs)
+        if not self._started:
+            self._f.write(
+                f"YUV4MPEG2 W{w} H{h} F{self._fps[0]}:{self._fps[1]} "
+                f"Ip A1:1 C{self._cs}\n".encode("ascii")
+            )
+            self._started = True
+        for i in range(t):
+            y, cb, cr = _rgb_to_ycbcr(frames[i])
+            if (cw, ch) != (w, h):
+                cb = np.clip(np.round(_downsample(cb, cw, ch)), 0, 255)
+                cr = np.clip(np.round(_downsample(cr, cw, ch)), 0, 255)
+            self._f.write(b"FRAME\n")
+            self._f.write(y.astype(np.uint8).tobytes())
+            self._f.write(cb.astype(np.uint8).tobytes())
+            self._f.write(cr.astype(np.uint8).tobytes())
+        self._f.flush()
+
+
 def save_y4m(path: str, frames: np.ndarray, fps: Tuple[int, int] = (30, 1),
              colorspace: str = "444") -> None:
     """Write (T, H, W, 3) float RGB in [0, 1] as 8-bit y4m."""

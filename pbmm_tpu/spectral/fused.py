@@ -7,16 +7,16 @@ whole HBM round trips from the per-frame hot path (r4 kernel set):
   k1: window multiply -> row-FFT   (the Hann window is applied to the
       padded Y block in VMEM before the stages; Hermitian-half kept
       lanes out)
-  k2: zero-embedded column FFT on the kept lanes
-  k3: band/phase amplification -> column-IFFT.  Three forms:
-      - `phase_col_ifft_grouped` (the hot path): 4 frames per grid step
-        over the pair stream (interior planes read once per step) with
-        host-precomputed per-bin planes (`_static_phase_planes`) fetched
-        once per lane block per chunk;
-      - `phase_col_ifft` (per-frame / pair-offset stream / IIR carries);
-      - `phase_col_ifft_at` (scalar-prefetch frame addressing for the
-        hybrid IIR engine's scan).
-  k4: row-IFFT -> |z| — standalone here (`row_ifft_magnitude`), or fully
+  k2: `colspec_chunk` (r5, the hot path): column-FFT + band/phase
+      amplification + column-IFFT for the WHOLE chunk in one kernel —
+      frame axis is the inner grid dim and the previous frame's column
+      spectrum (plus the IIR low-pass taps) ride VMEM scratch across it,
+      so the 2D spectrum never exists in HBM.  Host-precomputed per-bin
+      planes (`_static_phase_planes`) are fetched once per lane block
+      per chunk.  (The r4 k2/k3 split — `col_fft_zero_padded` +
+      `phase_col_ifft` — remains for the per-frame scan engine and the
+      spatially-sharded engine.)
+  k3: row-IFFT -> |z| — standalone here (`row_ifft_magnitude`), or fully
       merged with the post stage (`engine.post_pallas.rowifft_post_fused`
       via `make_row_ifft_block`) so the reconstruction never exists in
       HBM.
@@ -1165,355 +1165,6 @@ def row_ifft_magnitude(re, im, magnitude: bool = True, pad_h: int = 0,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "out_rows", "full_w", "planes",
-                                    "group", "interpret"))
-def phase_col_ifft_grouped(all_re, all_im, cfg, out_rows=None, full_w=None,
-                           planes: int = 1, group: int = 4,
-                           interpret: bool = False):
-    """Grouped frame-pair streaming (r4): each grid step processes G
-    consecutive frames of the pair stream, reading G+c plane blocks and
-    writing G — the shared interior planes (each frame's spectrum is both
-    a `cur` and the next frame's `prev`) are fetched ONCE per step instead
-    of once per role, cutting the stream's spectra reads from 2 to
-    (G+c)/G per frame (~25% fewer kernel bytes at G=4, c=1).
-
-    Two-frame mode only (the IIR carry is sequential); `all_re/all_im`
-    hold (T*c + c, H, Wk) planes as in `phase_col_ifft(pair_offset=c)`,
-    and T*c must be divisible by G.  Returns (re, im) of (T*c, rows, Wk).
-    """
-    n, h, w = all_re.shape
-    c = planes
-    b = n - c  # output planes
-    g = group
-    assert b % g == 0
-    r0, r1 = out_rows if out_rows is not None else (0, h)
-    twr_np, twi_np = _dif_twiddles(h, True)
-    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
-    gr_np, gi_np = _intra_group_matrix(h, True)
-    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
-    stages = twr_np.shape[0]
-    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]
-    if full_w is not None and full_w != w:
-        fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
-        fx = jnp.asarray(fx_np)[None, :]
-    else:
-        fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
-
-    block_w = min(_LANE_BLOCK, w)
-    # Lane block is the OUTER grid dim: the per-bin constants (static
-    # planes, fx) change only with j, so they are fetched once per lane
-    # block per chunk instead of once per (frame-group, lane) step.
-    grid = (pl.cdiv(w, block_w), b // g)
-    n_in = g + c  # plane blocks touched per step
-
-    def plane_spec(k):
-        return pl.BlockSpec((1, h, block_w),
-                            lambda j, i, k=k: (i * g + k, 0, j),
-                            memory_space=pltpu.VMEM)
-
-    fy_spec = pl.BlockSpec((h, 1), lambda j, i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    fx_spec = pl.BlockSpec((1, block_w), lambda j, i: (0, j),
-                           memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((stages, h), lambda j, i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    gm_spec = pl.BlockSpec((128, 128), lambda j, i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((g, r1 - r0, block_w),
-                            lambda j, i: (i, 0, j),
-                            memory_space=pltpu.VMEM)
-
-    # Host-precomputed (total, m_amp) per-bin planes where the config
-    # allows (pyramid, disjoint bands): their blocks are j-indexed only,
-    # so they are fetched once per lane block per chunk (~1 MB/frame
-    # amortized) and the whole radial profile evaluation leaves the
-    # kernel (`_static_phase_planes`).
-    planes_np = _static_phase_planes(cfg, h, w, full_w)
-    n_pl = len(planes_np) if planes_np is not None else 0
-    pl_spec = pl.BlockSpec((h, block_w), lambda j, i: (0, j),
-                           memory_space=pltpu.VMEM)
-
-    def kernel(*refs):
-        res = refs[:n_in]
-        ims = refs[n_in:2 * n_in]
-        pls = refs[2 * n_in:2 * n_in + n_pl]
-        fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref = \
-            refs[2 * n_in + n_pl:2 * n_in + n_pl + 6]
-        ore, oim = refs[-2:]
-        static_planes = (tuple(p[...] for p in pls) if n_pl else None)
-        for k in range(g):  # static unroll: G phase+IFFT chains
-            mr, mi = _phase_block(
-                res[k + c][0], ims[k + c][0], res[k][0], ims[k][0],
-                fy_ref[:], fx_ref[:], cfg,
-                static_planes=static_planes,
-            )
-            rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
-                                 gm=(gr_ref[...], gi_ref[...]))
-            ore[k] = rr[r0:r1]
-            oim[k] = ii[r0:r1]
-
-    plane_inputs = ([jnp.asarray(pp) for pp in planes_np]
-                    if planes_np is not None else [])
-    in_specs = ([plane_spec(k) for k in range(n_in)] * 2
-                + [pl_spec] * n_pl
-                + [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec])
-    inputs = ([all_re] * n_in + [all_im] * n_in + plane_inputs
-              + [fy, fx, twr, twi, gr, gi])
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, r1 - r0, w), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(*inputs)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "out_rows", "full_w",
-                                    "interpret"))
-def phase_col_ifft_iir_chunk(all_re, all_im, lp_fast, lp_slow, cfg,
-                             out_rows=None, full_w=None,
-                             interpret: bool = False):
-    """The whole IIR chunk in ONE kernel (r4): grid (lane-block OUTER,
-    frame INNER); the lp low-pass planes and the previous frame's
-    spectrum live in VMEM SCRATCH across the frame axis, so the
-    sequential temporal recurrence costs ZERO per-frame HBM state
-    traffic (the per-frame-call scan engine read+wrote 4 lp/prev planes
-    = ~37 MB/frame; here the lp planes are read once and the final state
-    written once per chunk, ~2.4 MB/frame at T=16).  The IIR recurrence
-    is per-bin independent, so sequencing frames inside the kernel per
-    lane block is exact.  Static phase planes apply (fetched once per
-    lane block per chunk).
-
-    `all_re/all_im`: (T+1, H, Wk) pair stream (plane 0 = carried prev).
-    y_only (c=1) only — the rgb stream interleaves planes and would need
-    per-plane scratch banks; the engine falls back to the per-frame scan
-    for rgb.  Returns (re, im, new_lp_fast, new_lp_slow)."""
-    n, h, w = all_re.shape
-    t = n - 1
-    r0, r1 = out_rows if out_rows is not None else (0, h)
-    twr_np, twi_np = _dif_twiddles(h, True)
-    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
-    gr_np, gi_np = _intra_group_matrix(h, True)
-    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
-    stages = twr_np.shape[0]
-    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]
-    if full_w is not None and full_w != w:
-        fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
-        fx = jnp.asarray(fx_np)[None, :]
-    else:
-        fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
-
-    block_w = min(_LANE_BLOCK, w)
-    grid = (pl.cdiv(w, block_w), t)  # j OUTER, frame INNER (sequential)
-
-    cur_spec = pl.BlockSpec((1, h, block_w), lambda j, i: (i + 1, 0, j),
-                            memory_space=pltpu.VMEM)
-    prev0_spec = pl.BlockSpec((1, h, block_w), lambda j, i: (0, 0, j),
-                              memory_space=pltpu.VMEM)
-    lp_spec = pl.BlockSpec((1, h, block_w), lambda j, i: (0, 0, j),
-                           memory_space=pltpu.VMEM)
-    fy_spec = pl.BlockSpec((h, 1), lambda j, i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    fx_spec = pl.BlockSpec((1, block_w), lambda j, i: (0, j),
-                           memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((stages, h), lambda j, i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    gm_spec = pl.BlockSpec((128, 128), lambda j, i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, r1 - r0, block_w),
-                            lambda j, i: (i, 0, j),
-                            memory_space=pltpu.VMEM)
-
-    planes_np = _static_phase_planes(cfg, h, w, full_w)
-    n_pl = len(planes_np) if planes_np is not None else 0
-    pl_spec = pl.BlockSpec((h, block_w), lambda j, i: (0, j),
-                           memory_space=pltpu.VMEM)
-
-    def kernel(*refs):
-        (cur_re_ref, cur_im_ref, p0_re_ref, p0_im_ref,
-         lpf_ref, lps_ref) = refs[:6]
-        pls = refs[6:6 + n_pl]
-        fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref = \
-            refs[6 + n_pl:12 + n_pl]
-        ore, oim, olpf, olps = refs[12 + n_pl:16 + n_pl]
-        spr, spi, slpf, slps = refs[16 + n_pl:]
-        i = pl.program_id(1)
-
-        @pl.when(i == 0)
-        def _():
-            spr[...] = p0_re_ref[0]
-            spi[...] = p0_im_ref[0]
-            slpf[...] = lpf_ref[0]
-            slps[...] = lps_ref[0]
-
-        static_planes = (tuple(p[...] for p in pls) if n_pl else None)
-        cr, ci = cur_re_ref[0], cur_im_ref[0]
-        mr, mi, nlpf, nlps = _phase_block(
-            cr, ci, spr[...], spi[...], fy_ref[:], fx_ref[:], cfg,
-            lpf=slpf[...], lps=slps[...], static_planes=static_planes,
-        )
-        spr[...] = cr
-        spi[...] = ci
-        slpf[...] = nlpf
-        slps[...] = nlps
-        # Revisited output blocks (j-constant index): final write wins —
-        # the chunk's last lp state leaves the kernel.
-        olpf[0] = nlpf
-        olps[0] = nlps
-        rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
-                             gm=(gr_ref[...], gi_ref[...]))
-        ore[0] = rr[r0:r1]
-        oim[0] = ii[r0:r1]
-
-    plane_inputs = ([jnp.asarray(pp) for pp in planes_np]
-                    if planes_np is not None else [])
-    in_specs = ([cur_spec, cur_spec, prev0_spec, prev0_spec,
-                 lp_spec, lp_spec]
-                + [pl_spec] * n_pl
-                + [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec])
-    inputs = ([all_re, all_im, all_re, all_im, lp_fast, lp_slow]
-              + plane_inputs + [fy, fx, twr, twi, gr, gi])
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=(out_spec, out_spec, lp_spec, lp_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((t, r1 - r0, w), jnp.float32),
-            jax.ShapeDtypeStruct((t, r1 - r0, w), jnp.float32),
-            jax.ShapeDtypeStruct((1, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((1, h, w), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((h, block_w), jnp.float32)] * 4,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(*inputs)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "out_rows", "full_w", "planes",
-                                    "interpret"))
-def phase_col_ifft_at(all_re, all_im, lp_fast, lp_slow, idx, cfg,
-                      out_rows=None, full_w=None, planes: int = 1,
-                      interpret: bool = False):
-    """IIR phase pass + column IFFT for ONE frame of a chunk-wide plane
-    stream, addressed by a TRACED frame index (r4, for the hybrid IIR
-    engine's `lax.scan`): the kernel reads frame `idx`'s planes (cur =
-    planes idx*c+c.., prev = idx*c..) straight from the (n, H, Wk) chunk
-    arrays via scalar-prefetch index maps — the four per-step
-    `dynamic_slice` copies (~37 MB/frame at 1080p) never happen.
-
-    Same math as `phase_col_ifft`'s IIR branch; `planes` = c planes per
-    frame (3 for chroma="rgb").  Returns (re, im, new_lp_fast,
-    new_lp_slow) with leading dim c."""
-    n, h, w = all_re.shape
-    c = planes
-    r0, r1 = out_rows if out_rows is not None else (0, h)
-    twr_np, twi_np = _dif_twiddles(h, True)
-    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
-    gr_np, gi_np = _intra_group_matrix(h, True)
-    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
-    stages = twr_np.shape[0]
-    fy = jnp.asarray(bitrev_freq_axis(h))[:, None]
-    if full_w is not None and full_w != w:
-        fx_np = bitrev_freq_axis(full_w)[kept_lane_indices(full_w)]
-        fx = jnp.asarray(fx_np)[None, :]
-    else:
-        fx = jnp.asarray(bitrev_freq_axis(w))[None, :]
-
-    block_w = min(_LANE_BLOCK, w)
-    grid = (c, pl.cdiv(w, block_w))
-
-    # Index-map signature in this JAX version: (*grid_indices,
-    # *scalar_prefetch_refs).
-    def cur_map(i, j, s):
-        return (s[0] * c + c + i, 0, j)
-
-    def prev_map(i, j, s):
-        return (s[0] * c + i, 0, j)
-
-    cur_spec = pl.BlockSpec((1, h, block_w), cur_map,
-                            memory_space=pltpu.VMEM)
-    prev_spec = pl.BlockSpec((1, h, block_w), prev_map,
-                             memory_space=pltpu.VMEM)
-    lp_spec = pl.BlockSpec((1, h, block_w), lambda i, j, s: (i, 0, j),
-                           memory_space=pltpu.VMEM)
-    fy_spec = pl.BlockSpec((h, 1), lambda i, j, s: (0, 0),
-                           memory_space=pltpu.VMEM)
-    fx_spec = pl.BlockSpec((1, block_w), lambda i, j, s: (0, j),
-                           memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((stages, h), lambda i, j, s: (0, 0),
-                           memory_space=pltpu.VMEM)
-    gm_spec = pl.BlockSpec((128, 128), lambda i, j, s: (0, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, r1 - r0, block_w),
-                            lambda i, j, s: (i, 0, j),
-                            memory_space=pltpu.VMEM)
-
-    # Static per-bin planes for chunk-size invariance (advisor r4): the
-    # scan path then uses fp-identical weights to the grouped stream.
-    planes_np = _static_phase_planes(cfg, h, w, full_w)
-    n_pl = len(planes_np) if planes_np is not None else 0
-    pl_plane_spec = pl.BlockSpec((h, block_w), lambda i, j, s: (0, j),
-                                 memory_space=pltpu.VMEM)
-
-    def kernel(s_ref, *refs):
-        (cr_ref, ci_ref, pr_ref, pi_ref, lpf_ref, lps_ref) = refs[:6]
-        pls = refs[6:6 + n_pl]
-        (fy_ref, fx_ref, twr_ref, twi_ref, gr_ref, gi_ref,
-         ore, oim, olpf, olps) = refs[6 + n_pl:]
-        mr, mi, nlpf, nlps = _phase_block(
-            cr_ref[0], ci_ref[0], pr_ref[0], pi_ref[0],
-            fy_ref[:], fx_ref[:], cfg,
-            lpf=lpf_ref[0], lps=lps_ref[0],
-            static_planes=(tuple(p[...] for p in pls) if n_pl else None),
-        )
-        olpf[0] = nlpf
-        olps[0] = nlps
-        rr, ii = _fft_stages(mr, mi, h, 0, True, twr_ref, twi_ref,
-                             gm=(gr_ref[...], gi_ref[...]))
-        ore[0] = rr[r0:r1]
-        oim[0] = ii[r0:r1]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[cur_spec, cur_spec, prev_spec, prev_spec,
-                  lp_spec, lp_spec] + [pl_plane_spec] * n_pl
-                 + [fy_spec, fx_spec, tw_spec, tw_spec, gm_spec, gm_spec],
-        out_specs=(out_spec, out_spec, lp_spec, lp_spec),
-    )
-    plane_inputs = ([jnp.asarray(pp) for pp in planes_np]
-                    if planes_np is not None else [])
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((c, r1 - r0, w), jnp.float32),
-            jax.ShapeDtypeStruct((c, r1 - r0, w), jnp.float32),
-            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((c, h, w), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(jnp.asarray(idx, jnp.int32).reshape((1,)),
-      all_re, all_im, all_re, all_im, lp_fast, lp_slow,
-      *plane_inputs, fy, fx, twr, twi, gr, gi)
-
-
-@functools.partial(jax.jit,
                    static_argnames=("cfg", "pad_h", "row0", "out_rows",
                                     "full_w", "planes", "interpret"))
 def colspec_chunk(rows_re, rows_im, prev_re, prev_im, cfg,
@@ -1524,16 +1175,16 @@ def colspec_chunk(rows_re, rows_im, prev_re, prev_im, cfg,
     (r5): the whole chunk's column stages run in ONE kernel with the
     frame axis as the INNER grid dim and the previous frame's column
     spectrum carried in VMEM scratch — the 2D spectrum NEVER exists in
-    HBM.  Replaces the k2 (`col_fft_zero_padded`) + k3
-    (`phase_col_ifft_grouped` / `_iir_chunk` / `_at`) pair in the batched
-    engines: per frame the old pair wrote 2 spectrum planes and re-read
+    HBM.  Replaces the r4 k2 (`col_fft_zero_padded`) + k3
+    (grouped / IIR-chunk / scalar-prefetch phase kernels, since pruned) in
+    the batched engines: per frame the old pair wrote 2 spectrum planes and re-read
     ~1.25 (grouped) to 4 (IIR scan) of them (~30-65 MB/frame at 1080p);
     here the kernel reads only k1's content-row spectra and writes only
     the row-windowed inverse — the same two VMEM column sweeps per frame
     (fwd for cur, inv for the result), zero spectrum HBM traffic.
 
     Covers the full first-class matrix: two-frame AND streaming IIR
-    (lp planes ride the scratch exactly as `phase_col_ifft_iir_chunk`),
+    (lp planes ride VMEM scratch across the frame axis),
     y_only AND chroma="rgb" (`planes=3`: the plane axis is the OUTER
     grid dim, so each plane's frame series gets its own scratch carry —
     the per-plane "scratch banks" of the r4 verdict).

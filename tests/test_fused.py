@@ -265,11 +265,11 @@ class TestHermitianHalf:
 
 
 def test_batched_chunk_engine_matches_per_frame_scan():
-    """The scan-free batched chunk engine (r3: `engine.video._chunk_batched`,
-    pair_offset index maps) against a literal per-frame `video_step` loop —
-    identical math, no scan glue."""
+    """The spectrum-resident batched chunk engine (r5:
+    `engine.video._chunk_colspec`) against a literal per-frame
+    `video_step` loop — identical math, no scan glue."""
     from pbmm_tpu.engine.video import (
-        _batched_ok,
+        _colspec_ok,
         magnify_video,
         video_init,
         video_step,
@@ -279,7 +279,7 @@ def test_batched_chunk_engine_matches_per_frame_scan():
     cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
                         use_fused_spectral=True, use_hermitian_spectral=True,
                         interpret_pallas=True)
-    assert _batched_ok(cfg, frames.shape[1:])
+    assert _colspec_ok(cfg, frames.shape[1:])
     got, _ = magnify_video(frames, cfg)
 
     state = video_init(frames[0], cfg)

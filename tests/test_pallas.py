@@ -7,7 +7,6 @@ import pytest
 
 from pbmm_tpu.config import MagnifyConfig
 from pbmm_tpu.phase.amplify import pyramid_phase_amplify
-from pbmm_tpu.phase.pallas_kernels import pyramid_phase_amplify_pallas
 from pbmm_tpu.pyramid.filters import amplified_level_flags, radial_filter_bank
 
 
@@ -17,52 +16,6 @@ def _spectra(rng, n=128):
     s1 = np.fft.fftshift(np.fft.fft2(img)).astype(np.complex64)
     s2 = np.fft.fftshift(np.fft.fft2(img2)).astype(np.complex64)
     return jnp.asarray(s2), jnp.asarray(s1)
-
-
-@pytest.mark.parametrize("n", [128, 256])
-def test_pallas_matches_jnp(rng, n):
-    cfg = MagnifyConfig()
-    cur, prev = _spectra(rng, n)
-    masks = radial_filter_bank(n, n, cfg.pyramid_levels,
-                               cfg.min_frequency, cfg.max_frequency)
-    flags = amplified_level_flags(cfg)
-    want = np.asarray(pyramid_phase_amplify(
-        cur, prev, masks, flags, cfg.phase_scale, cfg.magnitude_threshold))
-    got = np.asarray(pyramid_phase_amplify_pallas(
-        cur, prev, masks, flags, cfg.phase_scale, cfg.magnitude_threshold,
-        interpret=True))
-    scale = np.abs(want).max()
-    assert np.abs(got - want).max() / scale < 1e-5
-
-
-def test_pallas_batched_channels(rng):
-    cfg = MagnifyConfig()
-    cur, prev = _spectra(rng, 128)
-    cur3 = jnp.stack([cur, cur * 0.3, cur])
-    prev3 = jnp.stack([prev, prev * 0.3, prev])
-    masks = radial_filter_bank(128, 128, 5, 0.05, 0.45)
-    flags = amplified_level_flags(cfg)
-    want = np.asarray(pyramid_phase_amplify(
-        cur3, prev3, masks, flags, 10.0, 0.01))
-    got = np.asarray(pyramid_phase_amplify_pallas(
-        cur3, prev3, masks, flags, 10.0, 0.01, interpret=True))
-    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
-
-
-def test_pallas_with_delta_override(rng):
-    cfg = MagnifyConfig()
-    cur, prev = _spectra(rng, 128)
-    masks = radial_filter_bank(128, 128, 5, 0.05, 0.45)
-    flags = amplified_level_flags(cfg)
-    delta = jnp.asarray(
-        (rng.random((128, 128)) - 0.5).astype(np.float32) * 2.0
-    )
-    want = np.asarray(pyramid_phase_amplify(
-        cur, prev, masks, flags, 10.0, 0.01, delta_override=delta))
-    got = np.asarray(pyramid_phase_amplify_pallas(
-        cur, prev, masks, flags, 10.0, 0.01, delta_override=delta,
-        interpret=True))
-    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
 
 
 def test_pipeline_with_pallas_flag(rng):

@@ -135,9 +135,9 @@ class TestVideoParity:
             fft_backend="pallas", use_rfft=False, use_fused_spectral=True,
             interpret_pallas=True,
         )
-        from pbmm_tpu.engine.video import _batched_ok
+        from pbmm_tpu.engine.video import _colspec_ok
 
-        assert _batched_ok(base, FRAMES.shape)
+        assert _colspec_ok(base, FRAMES.shape)
         out_b, _ = magnify_video(FRAMES, base.replace(engine="batched"))
         out_s, _ = magnify_video(FRAMES, base.replace(engine="scan"))
         assert psnr(np.asarray(out_b), np.asarray(out_s)) > 80.0
@@ -186,9 +186,9 @@ class TestVideoParity:
             chroma="rgb", fft_backend="pallas", use_rfft=False,
             use_fused_spectral=True, interpret_pallas=True,
         )
-        from pbmm_tpu.engine.video import _batched_ok
+        from pbmm_tpu.engine.video import _colspec_ok
 
-        assert _batched_ok(cfg, FRAMES.shape)
+        assert _colspec_ok(cfg, FRAMES.shape)
         out_b, _ = magnify_video(FRAMES, cfg)
         out_s, _ = magnify_video(FRAMES, cfg.replace(engine="scan"))
         gen, _ = magnify_video(FRAMES, MagnifyConfig(chroma="rgb"))

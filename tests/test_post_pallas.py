@@ -70,7 +70,7 @@ def test_merged_rowifft_post_end_to_end_384():
     # geometry where the fused post serves (pad 512, full blur halo,
     # in_w % 128 == 0), so this drives the merged tail through
     # magnify_video end-to-end vs the generic XLA pipeline.
-    from pbmm_tpu.engine.video import _batched_ok, magnify_video
+    from pbmm_tpu.engine.video import _colspec_ok, magnify_video
     from pbmm_tpu.oracle.synthetic import oscillating_bar
     from pbmm_tpu.utils.metrics import psnr
 
@@ -81,7 +81,7 @@ def test_merged_rowifft_post_end_to_end_384():
     rows = blur_row_window(geom, cfg)
     assert post_pallas_ok(geom, cfg, rows[0], rows[1] - rows[0])
     frames = oscillating_bar(size=384, frames=4, bar_width=3)
-    assert _batched_ok(cfg, frames.shape)
+    assert _colspec_ok(cfg, frames.shape)
     out_t, _ = magnify_video(frames, cfg)
     out_g, _ = magnify_video(frames, MagnifyConfig())
     assert psnr(np.asarray(out_t), np.asarray(out_g)) > 80.0

@@ -164,12 +164,12 @@ class TestFusedIIR:
         """The r4 hybrid IIR chunk engine (batched FFTs around a scan of
         only the sequential phase stage) is bit-identical to the scan
         engine, including the carried lp state across chunk boundaries."""
-        from pbmm_tpu.engine.video import _batched_iir_ok
+        from pbmm_tpu.engine.video import _colspec_ok
         from pbmm_tpu.oracle.synthetic import oscillating_bar
 
         clip = oscillating_bar(size=128, frames=8, bar_width=2)
         hyb = self.FUSED.replace(use_hermitian_spectral=True)
-        assert _batched_iir_ok(hyb, clip.shape)
+        assert _colspec_ok(hyb, clip.shape)
         out_h, st_h = magnify_video(clip, hyb)
         out_s, st_s = magnify_video(clip, hyb.replace(engine="scan"))
         np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_s),
