@@ -198,6 +198,11 @@ def _blur_1d(img, taps, axis):
 
 
 def _preprocess(frame, cfg):
+    """-> ((C, ph, pw) spectra, windowed padded YIQ, geometry).  C = 1
+    (the Y plane, reference behavior) or 3 when chroma="rgb" (all YIQ
+    planes FFT-bound — the TPU extension; r5: the oracle previously
+    amplified only Y even for rgb configs, so rgb parity numbers were
+    comparing against the WRONG spec)."""
     h, w = frame.shape[:2]
     ph, pw, y0, x0 = _pad_geometry(h, w, cfg.pad_mode)
     yiq = frame @ RGB_TO_YIQ.T
@@ -205,7 +210,10 @@ def _preprocess(frame, cfg):
     padded[y0 : y0 + h, x0 : x0 + w] = yiq
     win = _hann(ph)[:, None] * _hann(pw)[None, :]
     windowed = padded * win[..., None]
-    spec = np.fft.fftshift(np.fft.fft2(windowed[..., 0]))
+    nch = 3 if getattr(cfg, "chroma", "y_only") == "rgb" else 1
+    spec = np.stack([
+        np.fft.fftshift(np.fft.fft2(windowed[..., c])) for c in range(nch)
+    ])
     return spec, windowed, (ph, pw, y0, x0)
 
 
@@ -248,13 +256,20 @@ def _amplify(cur, prev, cfg, ph, pw, delta_override=None):
 
 
 def _postprocess(mod_spec, windowed, geom, cfg):
+    """(C, ph, pw) modified spectra -> clipped RGB.  C = 1: processed Y
+    + windowed original I/Q; C = 3 (chroma="rgb"): all three planes are
+    processed reconstructions (`posttail`'s rgb branch)."""
     ph, pw, y0, x0 = geom
-    rec = np.fft.ifft2(np.fft.ifftshift(mod_spec))
+    rec = np.fft.ifft2(np.fft.ifftshift(mod_spec, axes=(-2, -1)))
     y = np.abs(rec) if cfg.reconstruct == "magnitude" else np.real(rec)
     taps = _derived_blur_taps(cfg.blur_size)
-    y = _blur_1d(y, taps, 1)  # horizontal first (`:428-429`)
-    y = _blur_1d(y, taps, 0)
-    out_yiq = np.stack([y, windowed[..., 1], windowed[..., 2]], axis=-1)
+    y = _blur_1d(y, taps, -1)  # horizontal first (`:428-429`)
+    y = _blur_1d(y, taps, -2)
+    if y.shape[0] == 3:
+        out_yiq = np.moveaxis(y, 0, -1)
+    else:
+        out_yiq = np.stack(
+            [y[0], windowed[..., 1], windowed[..., 2]], axis=-1)
     return np.clip(out_yiq @ YIQ_TO_RGB.T, 0.0, 1.0)
 
 
@@ -295,8 +310,8 @@ def oracle_magnify_video_iir(frames: np.ndarray, cfg) -> np.ndarray:
     out = [frames[0]]
     prev_spec, _, geom = _preprocess(frames[0], cfg)
     ph, pw, y0, x0 = geom
-    lp_fast = np.zeros((ph, pw))
-    lp_slow = np.zeros((ph, pw))
+    lp_fast = np.zeros(prev_spec.shape)
+    lp_slow = np.zeros(prev_spec.shape)
     for t in range(1, len(frames)):
         cur_spec, cur_win, _ = _preprocess(frames[t], cfg)
         delta = _wrap(np.angle(prev_spec) - np.angle(cur_spec))

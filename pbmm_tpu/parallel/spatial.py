@@ -24,7 +24,10 @@ Two engines, both `shard_map`-based:
 - `magnify_frame_pair_spatial`: one (prev, cur) pair over a ("rows",)
   mesh — a thin wrapper over the video engine with T=2.
 
-Restrictions: pyramid mode, two-frame temporal, y_only chroma.  Two
+Coverage (r5 parity): pyramid (radial/steerable) and standard mode,
+two-frame and iir_bandpass temporal, y_only and rgb chroma — everything
+the single-chip engine serves, except IIR + FRAME sharding (sequential
+recurrence; rejected with a pointer to rows-only meshes).  Two
 spectral backends compose with the same all-to-all decomposition: the XLA
 FFT (natural layout) and, since r3, the hand-scheduled Pallas kernels
 per shard (bitrev layout, fused phase + col-IFFT with the shard's global
@@ -99,9 +102,11 @@ def _freqs_local(pad_h: int, pad_w: int):
     return fy, fx
 
 
-def _amplify_local(cur, prev, cfg: MagnifyConfig, pad_h: int, pad_w: int):
+def _amplify_local(cur, prev, cfg: MagnifyConfig, pad_h: int, pad_w: int,
+                   delta_override=None):
     """Fused pyramid amplification on (..., H, Wc) cols-shards with global
-    freqs."""
+    freqs.  `delta_override`: pre-filtered phase delta (the IIR temporal
+    band-pass), replacing the raw two-frame rotation."""
     from pbmm_tpu.phase.amplify import rotation_term
     from pbmm_tpu.pyramid.filters import radial_profile_jnp
 
@@ -139,8 +144,32 @@ def _amplify_local(cur, prev, cfg: MagnifyConfig, pad_h: int, pad_w: int):
             else:
                 gate = (cur_mag * m >= tau) & (prev_mag * m >= tau)
                 amped = amped + jnp.where(gate, m, 0.0)
-    rot = rotation_term(cur, prev, cfg.phase_scale)
+    rot = rotation_term(cur, prev, cfg.phase_scale,
+                        delta_override=delta_override)
     return cur * ((total - amped) + amped * rot)
+
+
+def _amplify_local_any(cur, prev, cfg: MagnifyConfig, pad_h: int,
+                       pad_w: int, delta_override=None):
+    """Mode dispatch for the sharded amplification (r5 spatial parity):
+    pyramid (radial/steerable) or the standard whole-spectrum weighted
+    rotation (`ProcessPhaseDifference`,
+    `PhaseDifferenceComputeShader.compute:124-179`) — the weight w(f)
+    evaluated at this shard's global frequencies."""
+    if cfg.mode == "standard":
+        from pbmm_tpu.phase.standard import standard_phase_amplify
+        from pbmm_tpu.spectral.fused import _standard_weight_block
+
+        fy, fx = _freqs_local(pad_h, pad_w)
+        freq = jnp.sqrt(fy * fy + fx * fx)
+        weight = _standard_weight_block(freq, cfg)
+        return standard_phase_amplify(
+            cur, prev, weight, cfg.phase_scale, cfg.magnitude_threshold,
+            cfg.magnitude_scale, cfg.apply_magnitude_scale,
+            delta_override=delta_override,
+        )
+    return _amplify_local(cur, prev, cfg, pad_h, pad_w,
+                          delta_override=delta_override)
 
 
 def _spatial_pallas_ok(cfg: MagnifyConfig, geom, n_rows: int) -> bool:
@@ -181,7 +210,7 @@ def _a2a_inv(x: jnp.ndarray, p: int) -> jnp.ndarray:
 
 
 def _spectral_pallas_local(y_win, prev_from, cfg: MagnifyConfig,
-                           pad_h: int, pad_w: int):
+                           pad_h: int, pad_w: int, tl: int, c: int):
     """Per-shard Pallas spectral chain (VERDICT r2 weak #6: the spatial
     engine reusing the fast kernels): local bitrev row-FFT -> all-to-all
     -> local bitrev col-FFT -> fused phase + col-IFFT (per-lane global
@@ -192,6 +221,11 @@ def _spectral_pallas_local(y_win, prev_from, cfg: MagnifyConfig,
 
     `prev_from(re, im)` maps the local spectra batch to the
     previous-frame spectra (shifted slice + frame-halo ppermute).
+    `tl`/`c`: local frames and planes per frame (3 for chroma="rgb";
+    planes batch straight through the kernels).  In iir_bandpass mode
+    the lp taps ride this shard's column slice through a scan over local
+    frames (r5 spatial parity; IIR + frame sharding is rejected at
+    dispatch — the recurrence is sequential across frames).
     """
     from pbmm_tpu.spectral.fused import phase_col_ifft, row_ifft_magnitude
     from pbmm_tpu.spectral.pallas_fft import _fft_axis, bitrev_freq_axis
@@ -202,7 +236,7 @@ def _spectral_pallas_local(y_win, prev_from, cfg: MagnifyConfig,
     interp = cfg.interpret_pallas
 
     re, im = _fft_axis(y_win, None, 2, False, 1.0, interp)  # bitrev lanes
-    re, im = _a2a_fwd(re, p), _a2a_fwd(im, p)  # (Tl, H, Wc)
+    re, im = _a2a_fwd(re, p), _a2a_fwd(im, p)  # (Tl*c, H, Wc)
     re, im = _fft_axis(re, im, 1, False, 1.0, interp)  # bitrev cols
 
     pre, pim = prev_from(re, im)
@@ -213,9 +247,27 @@ def _spectral_pallas_local(y_win, prev_from, cfg: MagnifyConfig,
     fx_full = jnp.asarray(bitrev_freq_axis(pad_w))
     fx_local = jax.lax.dynamic_slice(fx_full, (idx * wc,), (wc,))
 
-    rre, rim = phase_col_ifft(re, im, pre, pim, cfg, fx_values=fx_local,
-                              interpret=interp)
-    rre, rim = _a2a_inv(rre, p), _a2a_inv(rim, p)  # (Tl, Hl, W)
+    if cfg.temporal.mode == "iir_bandpass":
+        sh = re.shape[1:]
+        zeros = jnp.zeros((c,) + sh, jnp.float32)
+
+        def step(carry, frame):
+            lpf, lps = carry
+            fre, fim, fpre, fpim = frame
+            rre_t, rim_t, nlpf, nlps = phase_col_ifft(
+                fre, fim, fpre, fpim, cfg, fx_values=fx_local,
+                lp_fast=lpf, lp_slow=lps, interpret=interp,
+            )
+            return (nlpf, nlps), (rre_t, rim_t)
+
+        frames = tuple(a.reshape((tl, c) + sh) for a in (re, im, pre, pim))
+        _, (rre, rim) = jax.lax.scan(step, (zeros, zeros), frames)
+        rre = rre.reshape((tl * c,) + sh)
+        rim = rim.reshape((tl * c,) + sh)
+    else:
+        rre, rim = phase_col_ifft(re, im, pre, pim, cfg,
+                                  fx_values=fx_local, interpret=interp)
+    rre, rim = _a2a_inv(rre, p), _a2a_inv(rim, p)  # (Tl*c, Hl, W)
     return row_ifft_magnitude(
         rre, rim, magnitude=(cfg.reconstruct == "magnitude"),
         pad_h=pad_h, interpret=interp,
@@ -257,8 +309,9 @@ def _blur_rowsharded(y: jnp.ndarray, blur_size: float):
     return sum(taps[k] * stacked[..., k:k + hl, :] for k in range(len(taps)))
 
 
-def _prev_shift(arrs, frame_sharded):
-    """Previous-frame spectra: local shift along the frame axis; the
+def _prev_shift(arrs, frame_sharded, c: int = 1):
+    """Previous-frame spectra: local shift along the frame axis (`c`
+    planes per frame — 3 for chroma="rgb" plane-batched streams); the
     boundary frame crosses the frame-shard ring via ppermute.  The global
     first frame pairs with itself (zero delta); its exact passthrough is
     applied by the caller.  Applies to each array in `arrs` identically
@@ -269,12 +322,12 @@ def _prev_shift(arrs, frame_sharded):
         fidx = jax.lax.axis_index(FRAME_AXIS)
         ring = [(i, (i + 1) % pf) for i in range(pf)]
         for a in arrs:
-            recv = jax.lax.ppermute(a[-1:], FRAME_AXIS, ring)
-            first_prev = jnp.where(fidx == 0, a[:1], recv)
-            outs.append(jnp.concatenate([first_prev, a[:-1]], axis=0))
+            recv = jax.lax.ppermute(a[-c:], FRAME_AXIS, ring)
+            first_prev = jnp.where(fidx == 0, a[:c], recv)
+            outs.append(jnp.concatenate([first_prev, a[:-c]], axis=0))
     else:
         for a in arrs:
-            outs.append(jnp.concatenate([a[:1], a[:-1]], axis=0))
+            outs.append(jnp.concatenate([a[:c], a[:-c]], axis=0))
     return outs
 
 
@@ -300,33 +353,81 @@ def _video_kernel(frames_padded, cfg: MagnifyConfig, geom, frame_sharded,
     wx = (0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * ix)))[None, :]
     win = wy * wx  # (Hl, Wp)
 
-    y_win = yiq[..., 0] * win  # (Tl, Hl, Wp)
+    rgb = cfg.chroma == "rgb"
+    c = 3 if rgb else 1
+    tl = frames_padded.shape[0]
+    if rgb:
+        # All three YIQ planes FFT-bound, plane-batched in the leading
+        # dim [Y0 I0 Q0 Y1 ...] so the frame shift is a c-plane shift.
+        fft_in = (jnp.moveaxis(yiq, -1, 1) * win).reshape(
+            tl * 3, hl, pad_w)
+    else:
+        fft_in = yiq[..., 0] * win  # (Tl, Hl, Wp)
+    iir = cfg.temporal.mode == "iir_bandpass"
 
     if use_pallas:
-        y_out = _spectral_pallas_local(
-            y_win, lambda re, im: _prev_shift((re, im), frame_sharded),
-            cfg, pad_h, pad_w,
+        out = _spectral_pallas_local(
+            fft_in, lambda re, im: _prev_shift((re, im), frame_sharded, c),
+            cfg, pad_h, pad_w, tl, c,
         )
     else:
-        spec = _fft2_local(y_win)  # (Tl, H, Wc)
-        (prev,) = _prev_shift((spec,), frame_sharded)
-        mod = _amplify_local(spec, prev, cfg, pad_h, pad_w)
-        rec = _ifft2_local(mod)  # (Tl, Hl, Wp) complex
-        y_out = (jnp.abs(rec) if cfg.reconstruct == "magnitude"
-                 else jnp.real(rec))
-    y_out = _blur_rowsharded(y_out, cfg.blur_size)
+        spec = _fft2_local(fft_in)  # (Tl*c, H, Wc)
+        (prev,) = _prev_shift((spec,), frame_sharded, c)
+        delta_override = None
+        if iir:
+            # Sequential IIR band-pass over the per-bin delta stream: the
+            # lp taps ride this shard's column slice through a scan over
+            # LOCAL frames (the frame axis is whole on each shard — IIR +
+            # frame sharding is rejected at dispatch).
+            from pbmm_tpu.phase.amplify import phase_delta
+            from pbmm_tpu.phase.temporal import (
+                TemporalState,
+                temporal_apply,
+                temporal_init,
+            )
 
-    out_yiq = jnp.stack(
-        [y_out, yiq[..., 1] * win, yiq[..., 2] * win], axis=-1
-    )
+            delta = phase_delta(spec, prev).reshape(
+                (tl, c) + spec.shape[1:])
+
+            def step(carry, dt):
+                filt, ns = temporal_apply(dt, carry, cfg.temporal)
+                return ns, filt
+
+            init = temporal_init((c,) + spec.shape[1:], cfg.temporal)
+            _, filt = jax.lax.scan(step, init, delta)
+            delta_override = filt.reshape(spec.shape)
+        mod = _amplify_local_any(spec, prev, cfg, pad_h, pad_w,
+                                 delta_override=delta_override)
+        rec = _ifft2_local(mod)  # (Tl*c, Hl, Wp) complex
+        out = (jnp.abs(rec) if cfg.reconstruct == "magnitude"
+               else jnp.real(rec))
+    out = _blur_rowsharded(out, cfg.blur_size)
+
+    if rgb:
+        out_yiq = jnp.moveaxis(out.reshape(tl, 3, hl, pad_w), 1, -1)
+    else:
+        out_yiq = jnp.stack(
+            [out, yiq[..., 1] * win, yiq[..., 2] * win], axis=-1
+        )
     return yiq_to_rgb(out_yiq, saturate=True)
 
 
-def _validate(cfg: MagnifyConfig):
-    if cfg.mode != "pyramid" or cfg.temporal.mode != "two_frame":
-        raise ValueError("spatial path supports pyramid two-frame mode")
-    if cfg.chroma != "y_only":
-        raise ValueError("spatial path supports chroma='y_only'")
+def _validate(cfg: MagnifyConfig, mesh: Mesh = None):
+    """r5 spatial parity: the sharded engine accepts everything the
+    single-chip engine accepts — pyramid (radial/steerable) AND standard
+    mode, two-frame AND iir_bandpass temporal, y_only AND rgb chroma —
+    except the one genuinely sequential-conflicting combination: IIR
+    temporal with FRAME sharding (the lp recurrence is strictly
+    sequential across frames, so frames cannot be data-parallel; shard
+    rows instead)."""
+    if mesh is not None and FRAME_AXIS in mesh.axis_names \
+            and mesh.shape[FRAME_AXIS] > 1 \
+            and cfg.temporal.mode == "iir_bandpass":
+        raise ValueError(
+            "iir_bandpass is sequential across frames and cannot ride a "
+            "frame-sharded mesh; use a ('rows',)-only mesh (the lp taps "
+            "then ride each shard's column slice)"
+        )
 
 
 @functools.lru_cache(maxsize=8)
@@ -381,7 +482,7 @@ def magnify_video_spatial(frames, cfg: MagnifyConfig, mesh: Mesh):
     1D ("rows",) for pure spatial sharding.  T must divide the frame-axis
     size.  Two-frame mode; each frame's FFT computed exactly once.
     """
-    _validate(cfg)
+    _validate(cfg, mesh)
     frames = jnp.asarray(frames)
     if not cfg.apply_motion_magnification:
         return frames.astype(jnp.float32)
@@ -402,6 +503,6 @@ def magnify_frame_pair_spatial(
 
     A T=2 run of the video engine: frame 1's output is `cur` magnified
     against `prev` (padding on device, one FFT per frame)."""
-    _validate(cfg)
+    _validate(cfg, mesh)
     frames = jnp.stack([jnp.asarray(prev_rgb), jnp.asarray(cur_rgb)])
     return magnify_video_spatial(frames, cfg, mesh)[1]

@@ -91,26 +91,31 @@ def test_roofline_analytic_model():
 
     cfg = MagnifyConfig().tuned_for_tpu()
     stages = hot_path_stages(1080, 1920, cfg)
-    # 5 stages since the r4 row-IFFT/post merge (the reconstruction
-    # never exists in HBM).
-    assert len(stages) == 5
-    assert "merged" in stages[4][0]
+    # 4 stages since the r5 spectrum-resident chunk engine (the column
+    # spectrum never exists in HBM; the r4 k2/k3 pair is one kernel).
+    assert len(stages) == 4
+    assert "merged" in stages[3][0]
     assert all(bi > 0 and bo > 0 and fl > 0 for _, bi, bo, fl in stages)
 
+    from pbmm_tpu.spectral.fused import aligned_row_window
     from pbmm_tpu.spectral.hermitian import hermitian_kept_width
 
     geom = geometry_for(1080, 1920, cfg.pad_mode)
     b0, b1 = blur_row_window(geom, cfg)
+    r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
     wk = hermitian_kept_width(geom.pad_w)  # tuned config keeps 9/16 lanes
     assert wk == 1152
-    name, bi, bo, _ = stages[3]
-    assert "phase" in name
-    # Grouped pair stream (G=4): (G+1)/G plane-pairs read per frame.
-    assert bi == int(2.5 * geom.pad_h * wk) * 4
-    assert bo == 2 * (b1 - b0) * wk * 4
+    name, bi, bo, _ = stages[2]
+    assert "colspec" in name
+    # Per frame: content-row spectra in, row-windowed inverse out, plus
+    # the chunk-boundary prev-spectrum state amortized over T=16.
+    amort = (4 * geom.pad_h * wk * 4) // 16
+    assert bi == 2 * (r1 - r0) * wk * 4 + amort
+    assert bo == 2 * (b1 - b0) * wk * 4 + amort
 
     # full-width config: the same stage reads full spectra
     full_cfg = cfg.replace(use_hermitian_spectral=False)
-    _, bi_f, bo_f, _ = hot_path_stages(1080, 1920, full_cfg)[3]
-    assert bi_f == int(2.5 * geom.pad_h * geom.pad_w) * 4
-    assert bo_f == 2 * (b1 - b0) * geom.pad_w * 4
+    _, bi_f, bo_f, _ = hot_path_stages(1080, 1920, full_cfg)[2]
+    amort_f = (4 * geom.pad_h * geom.pad_w * 4) // 16
+    assert bi_f == 2 * (r1 - r0) * geom.pad_w * 4 + amort_f
+    assert bo_f == 2 * (b1 - b0) * geom.pad_w * 4 + amort_f

@@ -33,16 +33,19 @@ def test_spatial_matches_unsharded():
     assert psnr(got, want) > 70.0
 
 
-def test_spatial_rejects_bad_modes():
-    cfg = MagnifyConfig(mode="standard")
-    mesh = _rows_mesh()
-    with pytest.raises(ValueError, match="pyramid"):
-        magnify_frame_pair_spatial(
-            np.zeros((64, 64, 3), np.float32),
-            np.zeros((64, 64, 3), np.float32),
-            cfg,
-            mesh,
-        )
+def test_spatial_rejects_only_sequential_conflict():
+    """r5 parity: the ONLY rejected combination is IIR temporal on a
+    frame-sharded mesh (the lp recurrence is sequential across frames)."""
+    from pbmm_tpu.config import TemporalConfig
+    from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh2d = Mesh(devs, ("frame", "rows"))
+    cfg = MagnifyConfig(use_rfft=False,
+                        temporal=TemporalConfig(mode="iir_bandpass"))
+    with pytest.raises(ValueError, match="sequential"):
+        magnify_video_spatial(
+            np.zeros((4, 64, 64, 3), np.float32), cfg, mesh2d)
 
 
 def test_spatial_two_devices():
@@ -149,3 +152,82 @@ class TestVideoSpatial:
         mesh = self._make_2d_mesh(2, 4)
         with pytest.raises(ValueError, match="must divide"):
             magnify_video_spatial(frames, MagnifyConfig(use_rfft=False), mesh)
+
+
+class TestSpatialParityR5:
+    """r5 spatial-engine parity: standard mode, IIR temporal, rgb chroma
+    through the sharded engine vs the unsharded pipeline (VERDICT r4
+    ask 8)."""
+
+    def test_standard_mode_xla(self):
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=4, bar_width=2)
+        cfg = MagnifyConfig(use_rfft=False, mode="standard")
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        want, _ = magnify_video(frames, cfg)
+        assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_standard_mode_pallas(self):
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=4, bar_width=2)
+        cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
+                            mode="standard", interpret_pallas=True)
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        want, _ = magnify_video(frames,
+                                MagnifyConfig(use_rfft=False,
+                                              mode="standard"))
+        assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_iir_rows_mesh_xla(self):
+        from pbmm_tpu.config import TemporalConfig
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=6, bar_width=2)
+        cfg = MagnifyConfig(use_rfft=False,
+                            temporal=TemporalConfig(mode="iir_bandpass"))
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        want, _ = magnify_video(frames, cfg)
+        assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_iir_rows_mesh_pallas(self):
+        from pbmm_tpu.config import TemporalConfig
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=6, bar_width=2)
+        cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
+                            interpret_pallas=True,
+                            temporal=TemporalConfig(mode="iir_bandpass"))
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        want, _ = magnify_video(
+            frames, MagnifyConfig(
+                use_rfft=False,
+                temporal=TemporalConfig(mode="iir_bandpass")))
+        assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_rgb_chroma_xla(self):
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=4, bar_width=2)
+        cfg = MagnifyConfig(use_rfft=False, chroma="rgb")
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        want, _ = magnify_video(frames, cfg)
+        assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_rgb_chroma_frame_mesh(self):
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import magnify_video_spatial
+
+        frames = oscillating_bar(size=64, frames=4, bar_width=2)
+        cfg = MagnifyConfig(use_rfft=False, chroma="rgb")
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("frame", "rows"))
+        out = np.asarray(magnify_video_spatial(frames, cfg, mesh))
+        want, _ = magnify_video(frames, cfg)
+        assert psnr(out, np.asarray(want)) > 70.0

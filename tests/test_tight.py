@@ -127,11 +127,13 @@ class TestTightEngine:
         got = np.concatenate([np.asarray(o1), np.asarray(o2)])
         np.testing.assert_array_equal(np.asarray(out_all), got)
 
-    def test_rgb_vs_xla_path(self, clip):
-        # rgb vs the fp64 oracle hits the known ~50 dB gate knife-edges;
-        # the meaningful check is against the generic XLA path.
+    def test_rgb_vs_oracle_and_xla(self, clip):
         cfg = _base().replace(chroma="rgb")
         out, _ = magnify_video(clip, cfg)
+        # Direct fp64-oracle parity (the oracle amplifies all three YIQ
+        # planes since r5 — see tests/test_rgb_parity.py).
+        assert psnr(np.asarray(out),
+                    oracle_magnify_video(clip, cfg)) > 60
         cfg_x = MagnifyConfig(phase_scale=10.0).replace(
             pad_mode="tight", chroma="rgb")
         ref, _ = magnify_video(clip, cfg_x)
