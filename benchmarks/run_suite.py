@@ -126,7 +126,12 @@ def config3(quick):
 
 
 def config4(quick):
-    """Batched 1080p multi-video, frames sharded across chips."""
+    """Batched 1080p multi-video, frames sharded across chips —
+    DEVICE-RESIDENT (r5: frames staged onto the mesh before timing, so
+    the number measures sharded compute, not host->device transfer),
+    with the analytic ICI scaling model published alongside (real
+    N>=2-chip runs are impossible on this 1-chip box; the model gives
+    the reader the projection the missing hardware would test)."""
     import jax
 
     from pbmm_tpu.config import MagnifyConfig
@@ -139,17 +144,33 @@ def config4(quick):
     mesh = make_mesh(shape)
     b, t = shape[0], 2 * shape[1]
     rng = np.random.default_rng(0)
-    frames = rng.random((b, t, h, w, 3)).astype(np.float32)
+    frames = jax.device_put(
+        rng.random((b, t, h, w, 3)).astype(np.float32))
     cfg = MagnifyConfig()
     out = magnify_batch_sharded(frames, cfg, mesh)
     _sync(out[0, 0, 0, 0])
+    reps = 2 if quick else 3
     t0 = time.perf_counter()
-    out = magnify_batch_sharded(frames, cfg, mesh)
+    for _ in range(reps):
+        out = magnify_batch_sharded(frames, cfg, mesh)
     _sync(out[0, 0, 0, 0])
-    fps = b * t / (time.perf_counter() - t0)
-    return {"config": 4, "desc": f"sharded {h}p batch on {n} devices",
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(2 * reps):
+        out = magnify_batch_sharded(frames, cfg, mesh)
+    _sync(out[0, 0, 0, 0])
+    dt2 = time.perf_counter() - t0
+    fps = b * t * reps / max(dt2 - dt, 1e-9)  # marginal rate
+    from pbmm_tpu.parallel.model import scaling_table
+
+    return {"config": 4,
+            "desc": f"sharded {h}p batch on {n} devices (device-resident, "
+                    "marginal rate)",
             "frames_per_s": round(fps, 2), "devices": n,
-            "mesh": list(shape)}
+            "mesh": list(shape),
+            "ici_model": scaling_table(
+                h, w, cfg.pad_mode,
+                compute_ms_per_frame=round(1e3 / fps, 3))}
 
 
 def config5(quick):
@@ -179,9 +200,22 @@ def config5(quick):
     fps1 = run(1)
     fpsn = run(n)
     eff = fpsn / (fps1 * n)
+    # The measured efficiency is only meaningful on real multi-chip
+    # hardware; on the CI's 8 timeshared virtual CPU devices it is
+    # vacuous (all "devices" share the same cores).  The analytic ICI
+    # model gives the projection a real slice would test (r5): the
+    # frame axis moves ONE spectrum plane pair per shard per chunk, so
+    # its no-overlap efficiency bound at 1080p is >0.98.
+    from pbmm_tpu.parallel.model import scaling_table
+
+    backend_is_cpu = jax.devices()[0].platform == "cpu"
     return {"config": 5, "desc": "frame-shard scaling efficiency",
             "devices": n, "fps_1dev": round(fps1, 2),
-            "fps_ndev": round(fpsn, 2), "efficiency": round(eff, 3)}
+            "fps_ndev": round(fpsn, 2), "efficiency": round(eff, 3),
+            "measured_efficiency_meaningful": not backend_is_cpu or n == 1,
+            "ici_model_1080p": scaling_table(
+                1080, 1920, cfg.pad_mode,
+                compute_ms_per_frame=0.45)}
 
 
 _TUNED = False

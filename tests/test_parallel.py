@@ -101,3 +101,39 @@ def test_batched_rejects_iir_mode():
     cfg = MagnifyConfig(temporal=TemporalConfig(mode="iir_bandpass"))
     with pytest.raises(ValueError, match="two-frame"):
         magnify_clip_batched(CLIP, cfg)
+
+
+class TestICIModel:
+    """Analytic multi-chip scaling model (r5): exact collective byte
+    counts per sharding axis and the no-overlap efficiency bound."""
+
+    def test_frame_axis_traffic(self):
+        from pbmm_tpu.parallel.model import frame_axis_traffic
+
+        t = frame_axis_traffic(2048, 1152, frames_per_shard=16)
+        # one (2048, 1152) f32 re/im pair per 16-frame chunk
+        assert t.bytes_per_frame == 2 * 2048 * 1152 * 4 / 16
+
+    def test_rows_axis_traffic(self):
+        from pbmm_tpu.parallel.model import rows_axis_traffic
+
+        t = rows_axis_traffic(2048, 2048, n_dev=4, blur_radius=2)
+        a2a = 2 * (2048 * 2048 * 2 * 4) * 3 / 4
+        halo = 2 * 4 * 2048 * 4
+        assert t.bytes_per_frame == a2a + halo
+
+    def test_efficiency_bounds_ordering(self):
+        from pbmm_tpu.parallel.model import scaling_table
+
+        rows = scaling_table(1080, 1920, "square_pow2",
+                             compute_ms_per_frame=0.45)
+        frame_row = rows[0]
+        assert frame_row["axis"] == "frame"
+        # the 1-frame spectral halo is tiny: >= 98% bound at 1080p
+        assert frame_row["efficiency_bound_no_overlap"] >= 0.98
+        # rows-axis bounds decrease with devices and sit well below the
+        # frame axis (all-to-alls move the whole spectrum)
+        effs = [r["efficiency_bound_no_overlap"] for r in rows[1:]]
+        assert all(e < frame_row["efficiency_bound_no_overlap"]
+                   for e in effs)
+        assert effs == sorted(effs, reverse=True)
