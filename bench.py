@@ -1,11 +1,15 @@
 """Headline benchmark: 1080p magnified frames/s on one TPU chip.
 
-Reference-parity configuration (pyramid mode, L=5, square power-of-two
-padding => 2048x2048 internal resolution — exactly the reference's 1080p
-working set, `MotionMagnificationProcessor.cs:298-302`), using the flagship
-streaming scan engine (`engine.video.magnify_video`) with the previous
-frame's spectrum carried as state across chunk calls — real long-video
-throughput, every frame magnified against its true predecessor.
+Reference-parity algorithm (pyramid mode, L=5, phase math per
+`MotionMagnificationProcessor.cs`) at the r5 production geometry:
+pad_mode="tight" (1152x2048 internal — VERDICT r4 ask 2 retired the
+reference's 2048^2 pad, which existed only because its FFT driver
+shares one pow-2 table between axes, `:531-535`).  The same-run
+square_pow2 number (the r1-r4 headline geometry) is printed to stderr
+for cross-round comparability.  Flagship streaming engine
+(`engine.video.magnify_video`) with the previous frame's spectrum
+carried as state across chunk calls — real long-video throughput,
+every frame magnified against its true predecessor.
 
 Prints ONE JSON line:
   {"metric": "fps_1080p_per_chip", "value": N, "unit": "frames/s",
@@ -49,9 +53,10 @@ def main():
         [np.roll(base, shift=i, axis=1) * (0.95 + 0.01 * i) for i in range(t)]
     )
     # Reference defaults (pyramid, L=5, scale=10) in the fastest-known TPU
-    # configuration (Pallas fused-stage FFT backend; PSNR > 140 dB vs the
-    # default XLA path on hardware).
-    cfg = MagnifyConfig().tuned_for_tpu()
+    # configuration (Pallas fused-stage FFT backend, spectrum-resident
+    # chunk engine, tight geometry; >100 dB vs the fp64 oracle at this
+    # geometry on hardware).
+    cfg = MagnifyConfig().tuned_for_tpu().replace(pad_mode="tight")
 
     frames_dev = jax.device_put(frames)
 
@@ -252,21 +257,26 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
         temporal=TemporalConfig(mode="iir_bandpass")))
     log(f"iir-temporal (fused): {fmt(iir_fps)}")
 
-    # r5: tight geometry (1152x2048 instead of 2048^2 at 1080p — the
-    # four-step column kernel) and the u8 planar video pipeline (planar
-    # uint8 in -> planar out; chroma from u8 in the post kernel).  These
-    # are the production-video numbers; the headline above keeps the
-    # reference-parity configuration (square pow2, f32 interleaved
-    # textures) for cross-round comparability.
-    cfg_tight = cfg_tuned.replace(pad_mode="tight")
-    tight_fps = fps_of(frames_1080, cfg_tight)
-    log(f"tight-1080p (1152x2048): {fmt(tight_fps)}")
+    # The r1-r4 headline geometry (the reference's square pow-2 pad) for
+    # cross-round comparability; the r5 headline runs tight (1152x2048).
+    sq1080 = fps_of(frames_1080, cfg_tuned.replace(pad_mode="square_pow2"))
+    log(f"square_pow2 reference geometry (2048^2, r1-r4 headline): "
+        f"{fmt(sq1080)}")
+    # u8 planar video pipeline (planar uint8 in -> planar out; chroma
+    # from u8 inside the post kernel): the production-video contract
+    # (the reference's own source textures are 8-bit).
+    cfg_tight = cfg_tuned
     fr_u8 = np.clip(np.asarray(frames_1080) * 255.0, 0, 255).astype(
         np.uint8)
     planar = jax.device_put(np.moveaxis(fr_u8, -1, 1).copy())
-    u8_fps = fps_of(planar, cfg_tight.replace(output_layout="planar"))
+    # ~3000 fps: a 4-rep trial is ~21 ms of device time vs the ~25 ms
+    # tunnel RPC constant — the 2x-reps ratio then hovers at the 1.5
+    # cutoff; 12 reps keep the cross-check sound.
+    u8_fps = fps_of(planar, cfg_tight.replace(output_layout="planar"),
+                    reps=12)
     log(f"u8-planar video pipeline (tight, planar f32 out): {fmt(u8_fps)}")
-    u8q_fps = fps_of(planar, cfg_tight.replace(output_layout="planar_u8"))
+    u8q_fps = fps_of(planar, cfg_tight.replace(output_layout="planar_u8"),
+                     reps=12)
     log(f"u8-planar video pipeline (tight, planar u8 out): {fmt(u8q_fps)}")
 
     # rect_pow2 trade: degenerate at 1080p (next_pow2(1080) = 2048 =
@@ -280,8 +290,13 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
     clip_dev = jax.device_put(clip)
     sq_cfg = cfg_tuned.replace(pad_mode="square_pow2")
     rect_cfg = cfg_tuned.replace(pad_mode="rect_pow2")
-    sq_fps = fps_of(clip_dev, sq_cfg)
-    rect_fps = fps_of(clip_dev, rect_cfg)
+    # 720p at ~4000 fps finishes a 4-rep trial in ~16 ms — inside the
+    # tunnel's RPC jitter; 12 reps keep the 2x-reps cross-check sound.
+    sq_fps = fps_of(clip_dev, sq_cfg, reps=12)
+    rect_fps = fps_of(clip_dev, rect_cfg, reps=12)
+    tight_720 = fps_of(clip_dev, cfg_tuned.replace(pad_mode="tight"),
+                       reps=12)
+    log(f"720p tight (768x2048 = 6*128 rows): {fmt(tight_720)}")
     out_sq, _ = magnify_video(clip_dev, sq_cfg)
     out_rc, _ = magnify_video(clip_dev, rect_cfg)
     p = psnr(np.asarray(out_rc), np.asarray(out_sq))
