@@ -183,21 +183,49 @@ def config5(quick):
 
     n = jax.device_count()
     h, w = (135, 240) if quick else (540, 960)
-    t_per_dev = 2
+    t_per_dev = 2 if quick else 8  # enough device time for the marginal
+    #                                rate to clear tunnel jitter
     cfg = MagnifyConfig()
     rng = np.random.default_rng(0)
 
     def run(n_dev):
         mesh = make_mesh((1, n_dev), devices=jax.devices()[:n_dev])
-        frames = rng.random((1, t_per_dev * n_dev, h, w, 3)).astype(np.float32)
+        frames = jax.device_put(rng.random(
+            (1, t_per_dev * n_dev, h, w, 3)).astype(np.float32))
         out = magnify_batch_sharded(frames, cfg, mesh)
         _sync(out[0, 0, 0, 0])
-        t0 = time.perf_counter()
-        out = magnify_batch_sharded(frames, cfg, mesh)
-        _sync(out[0, 0, 0, 0])
-        return (t_per_dev * n_dev) / (time.perf_counter() - t0)
+        reps = 6  # marginal rate: the per-call dispatch constant cancels
+        for _ in range(4):  # retry until the 2x-reps cross-check holds
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = magnify_batch_sharded(frames, cfg, mesh)
+            _sync(out[0, 0, 0, 0])
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(2 * reps):
+                out = magnify_batch_sharded(frames, cfg, mesh)
+            _sync(out[0, 0, 0, 0])
+            dt2 = time.perf_counter() - t0
+            if 1.5 <= dt2 / dt <= 2.5:
+                return (t_per_dev * n_dev) * reps / (dt2 - dt)
+        return (t_per_dev * n_dev) * reps / max(dt2 - dt, 1e-9)
 
     fps1 = run(1)
+    if n == 1:
+        # One real chip: fps_ndev would re-run the identical config and
+        # the "efficiency" would be pure run-to-run tunnel noise (r4's
+        # 1.11, this round's 1.38 draft).  Nothing to scale: report the
+        # single-device rate and point at the analytic model.
+        from pbmm_tpu.parallel.model import scaling_table
+
+        return {"config": 5, "desc": "frame-shard scaling efficiency",
+                "devices": 1, "fps_1dev": round(fps1, 2),
+                "fps_ndev": None, "efficiency": None,
+                "note": "1 real chip: no scaling to measure; the "
+                        "ici_model_1080p rows give the per-axis "
+                        "no-overlap bounds a real slice would test",
+                "ici_model_1080p": scaling_table(
+                    1080, 1920, cfg.pad_mode, compute_ms_per_frame=0.45)}
     fpsn = run(n)
     eff = fpsn / (fps1 * n)
     # The measured efficiency is only meaningful on real multi-chip
