@@ -187,6 +187,13 @@ class MagnifyConfig:
     #   mathematically identical (the phase pass preserves the symmetry,
     #   same argument as `use_rfft`).
     interpret_pallas: bool = False  # Pallas interpret mode (CPU testing)
+    gm_precision: str = ""  # MXU matmul precision for the FFT group
+    #   matmuls (advisor r4: a config field is hashed and checkpointed,
+    #   unlike the env var): "" = keep the process default
+    #   (PBMM_GM_PRECISION env, default "b3": 3 one-pass bf16 dots per
+    #   real product, ~117 dB end-to-end parity), "b3", "highest"
+    #   (6-pass full-f32, ~146 dB, ~15% slower), or "default" (single
+    #   lossy bf16 pass — measurement only).
 
     def __post_init__(self):
         if self.mode not in ("pyramid", "standard"):
@@ -228,6 +235,11 @@ class MagnifyConfig:
             raise ValueError(
                 "fft_backend='mxu' requires use_rfft=True (four-step matmul "
                 "FFT produces the natural half-spectrum layout)"
+            )
+        if self.gm_precision not in ("", "b3", "highest", "default"):
+            raise ValueError(
+                f"unknown gm_precision: {self.gm_precision!r} "
+                "(expected '', 'b3', 'highest', or 'default')"
             )
 
     def tuned_for_tpu(self) -> "MagnifyConfig":

@@ -508,6 +508,9 @@ def magnify_frame_pair(
       prev_rgb, cur_rgb: (H, W, 3) f32 RGB in [0, 1].
     Returns (H, W, 3) f32 RGB.
     """
+    from pbmm_tpu.spectral.pallas_fft import set_gm_precision
+
+    set_gm_precision(cfg.gm_precision)
     if not cfg.apply_motion_magnification:
         # Reference bypass (`MotionMagnificationProcessor.cs:126-139`).
         return unit_float(cur_rgb)

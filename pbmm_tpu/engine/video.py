@@ -411,6 +411,9 @@ def magnify_video(
     the analog of `OnValidate` retracing on parameter edits); repeat calls
     with the same shapes/config dispatch without retracing.
     """
+    from pbmm_tpu.spectral.pallas_fft import set_gm_precision
+
+    set_gm_precision(cfg.gm_precision)
     frames = jnp.asarray(frames)
     if _is_planar(frames) and not (
         _use_batched(cfg) and _colspec_ok(cfg, _norm_shape(frames))

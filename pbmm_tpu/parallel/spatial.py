@@ -483,6 +483,9 @@ def magnify_video_spatial(frames, cfg: MagnifyConfig, mesh: Mesh):
     size.  Two-frame mode; each frame's FFT computed exactly once.
     """
     _validate(cfg, mesh)
+    from pbmm_tpu.spectral.pallas_fft import set_gm_precision
+
+    set_gm_precision(cfg.gm_precision)
     frames = jnp.asarray(frames)
     if not cfg.apply_motion_magnification:
         return frames.astype(jnp.float32)

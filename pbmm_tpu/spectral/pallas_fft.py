@@ -174,6 +174,23 @@ _GM_PRECISION = {
 }[_GM_MODE]
 
 
+def set_gm_precision(mode: str) -> None:
+    """Apply `cfg.gm_precision` ("" = leave the process default).  The
+    kernels read `_GM_MODE` at TRACE time, and every engine entry point
+    passes the config as a static (hashed) jit argument — so calling
+    this before tracing makes the choice deterministic per config and
+    survives checkpoints, unlike the env var (advisor r4)."""
+    global _GM_MODE, _GM_PRECISION
+    if not mode:
+        return
+    _GM_MODE = mode
+    _GM_PRECISION = {
+        "b3": jax.lax.Precision.DEFAULT,
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[mode]
+
+
 _DOT_DN = (((1,), (1,)), ((), ()))  # contract x's minor dim with A's k dim
 
 

@@ -329,3 +329,24 @@ class TestRfftPath:
 
         with _pytest.raises(ValueError, match="use_rfft"):
             MagnifyConfig(use_pallas=True)
+
+
+def test_gm_precision_config_field():
+    """advisor r4: the MXU matmul precision is a hashed config field, not
+    only an env var; 'highest' must agree with the default 'b3' far above
+    the parity target."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pbmm_tpu.oracle.synthetic import oscillating_bar
+    from pbmm_tpu.utils.metrics import psnr
+
+    with _pytest.raises(ValueError, match="gm_precision"):
+        MagnifyConfig(gm_precision="fast")
+
+    frames = oscillating_bar(size=128, frames=3, bar_width=2)
+    base = MagnifyConfig(phase_scale=10.0).tuned_for_tpu().replace(
+        interpret_pallas=True)
+    out_b3, _ = magnify_video(frames, base.replace(gm_precision="b3"))
+    out_hi, _ = magnify_video(frames, base.replace(gm_precision="highest"))
+    assert psnr(np.asarray(out_b3), np.asarray(out_hi)) > 60
