@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-edges", action="store_true")
     p.add_argument("--no-bandpass", action="store_true")
     p.add_argument("--chroma", default="y_only", choices=["y_only", "rgb"])
+    p.add_argument("--output-layout", default="interleaved",
+                   choices=["interleaved", "planar", "planar_u8"],
+                   help="planar/planar_u8 ((T,3,H,W), written directly by "
+                        "the post kernel — no channel interleave; "
+                        "planar_u8 quarters the output bytes)")
+    p.add_argument("--gm-precision", default="",
+                   choices=["", "b3", "highest", "default"],
+                   help="MXU matmul precision for the FFT group matmuls "
+                        "(default: process default, b3)")
     p.add_argument("--pad-mode", default="square_pow2",
                    choices=["square_pow2", "rect_pow2", "tight"],
                    help="tight: height to the next 128 multiple (1080p -> "
@@ -152,6 +161,8 @@ def config_from_args(args):
         edge_enhancement=args.edge_enhancement,
         apply_bandpass=not args.no_bandpass,
         chroma=args.chroma,
+        output_layout=getattr(args, "output_layout", "interleaved"),
+        gm_precision=getattr(args, "gm_precision", ""),
         pad_mode=args.pad_mode,
         reconstruct=args.reconstruct,
         temporal=TemporalConfig(
@@ -316,28 +327,24 @@ def _run(args, frames, cfg) -> int:
                               "engine": "stream"}), file=sys.stderr)
         return 0
 
-    use_batched = args.engine == "batched" or (
-        args.engine == "auto"
-        and cfg.temporal.mode == "two_frame"
-        and not args.checkpoint
-    )
-    if use_batched:
-        from pbmm_tpu.parallel.sharding import magnify_clip_batched
+    # The flagship engine serves every path (r5): cfg.engine selects
+    # batched (the spectrum-resident chunk engine) vs scan inside
+    # magnify_video; tight geometry, planar layouts and checkpoints all
+    # route through it.  (The stateless `magnify_clip_batched` remains
+    # the sharded multi-video API, `parallel/sharding.py`.)
+    import os
 
-        out = np.asarray(magnify_clip_batched(frames, cfg))
-    else:
-        import os
+    from pbmm_tpu.engine.state import load_state, save_state
+    from pbmm_tpu.engine.video import magnify_video
 
-        from pbmm_tpu.engine.state import load_state, save_state
-        from pbmm_tpu.engine.video import magnify_video
-
-        state = None
-        if args.checkpoint and os.path.exists(args.checkpoint):
-            state = load_state(args.checkpoint)
-        out_j, state = magnify_video(frames, cfg, state=state)
-        out = np.asarray(out_j)
-        if args.checkpoint:
-            save_state(state, args.checkpoint)
+    state = None
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        state = load_state(args.checkpoint)
+    out_j, state = magnify_video(frames, cfg, state=state)
+    out = np.asarray(out_j)
+    if args.checkpoint:
+        save_state(state, args.checkpoint)
+    use_batched = cfg.engine == "batched"
 
     dt = time.perf_counter() - t0
     save_video(args.output, out)

@@ -103,6 +103,19 @@ def preprocess(
         else:
             chans_small = yiq[..., 0:1, :, :]  # Y plane only
         if cfg.fft_backend == "pallas":
+            if geom.pad_h & (geom.pad_h - 1):
+                # Tight heights are served ONLY by the spectrum-resident
+                # chunk engine's four-step column transform; the
+                # standalone column kernel here is radix-2 and would
+                # SILENTLY compute garbage at non-pow-2 heights.
+                raise ValueError(
+                    "pad_mode='tight' with fft_backend='pallas' is served "
+                    "by engine.video.magnify_video (spectrum-resident "
+                    "chunk engine); the standalone pow-2 column kernel "
+                    "cannot transform "
+                    f"pad_h={geom.pad_h}.  Use magnify_video, or "
+                    "fft_backend='xla' for this entry point."
+                )
             # Row-windowed forward: pad to the block-aligned content-row
             # cover only (the other padded rows are exact zeros, with zero
             # row-FFTs); the Hann window rides inside the row kernel and

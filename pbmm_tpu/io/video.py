@@ -93,11 +93,14 @@ def save_video(path: str, frames: np.ndarray) -> None:
     imageio as uint8."""
     ext = os.path.splitext(path)[1].lower()
     frames = np.asarray(frames)
+    # uint8 passes through unconverted (the planar_u8 output layout, r5);
+    # everything else normalizes to f32.
+    dt = np.uint8 if frames.dtype == np.uint8 else np.float32
     if ext == ".npy":
-        np.save(path, frames.astype(np.float32))
+        np.save(path, frames.astype(dt))
         return
     if ext == ".npz":
-        np.savez_compressed(path, frames=frames.astype(np.float32))
+        np.savez_compressed(path, frames=frames.astype(dt))
         return
     if ext == ".y4m":
         from pbmm_tpu.io.y4m import save_y4m

@@ -212,8 +212,14 @@ class Y4MStreamWriter:
 
 def save_y4m(path: str, frames: np.ndarray, fps: Tuple[int, int] = (30, 1),
              colorspace: str = "444") -> None:
-    """Write (T, H, W, 3) float RGB in [0, 1] as 8-bit y4m."""
+    """Write (T, H, W, 3) float RGB in [0, 1] — or the planar
+    (T, 3, H, W) f32/uint8 layouts (`output_layout`, r5) — as 8-bit
+    y4m."""
     frames = np.asarray(frames)
+    if frames.ndim == 4 and frames.shape[1] == 3 and frames.shape[-1] != 3:
+        frames = np.moveaxis(frames, 1, -1)
+    if frames.dtype == np.uint8:
+        frames = frames.astype(np.float32) / 255.0
     t, h, w = frames.shape[:3]
     cw, ch = _chroma_dims(w, h, colorspace)
     buf = io.BytesIO()
