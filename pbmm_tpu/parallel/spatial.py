@@ -181,10 +181,17 @@ def _spatial_pallas_ok(cfg: MagnifyConfig, geom, n_rows: int) -> bool:
     shapes_ok = (
         geom.pad_h % 128 == 0 and (geom.pad_w // n_rows) % 128 == 0
     ) or cfg.interpret_pallas
+    # The per-shard kernels are radix-2: non-pow-2 (tight) heights fall
+    # back to the XLA path below, which is exact at any size (the
+    # four-step tight transform lives only in the single-chip chunk
+    # kernel).
+    pow2 = geom.pad_h & (geom.pad_h - 1) == 0 \
+        and geom.pad_w & (geom.pad_w - 1) == 0
     return (
         cfg.fft_backend == "pallas"
         and not cfg.apply_magnitude_scale
         and shapes_ok
+        and pow2
     )
 
 

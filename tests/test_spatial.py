@@ -231,3 +231,26 @@ class TestSpatialParityR5:
         out = np.asarray(magnify_video_spatial(frames, cfg, mesh))
         want, _ = magnify_video(frames, cfg)
         assert psnr(out, np.asarray(want)) > 70.0
+
+    def test_tight_geometry_takes_xla_path(self):
+        """Non-pow-2 (tight) heights must NOT reach the radix-2 per-shard
+        Pallas kernels (silent garbage); they fall back to the exact XLA
+        path."""
+        from pbmm_tpu.core.window import geometry_for
+        from pbmm_tpu.engine.video import magnify_video
+        from pbmm_tpu.parallel.spatial import (
+            _spatial_pallas_ok,
+            magnify_video_spatial,
+        )
+
+        frames = oscillating_bar(size=256, frames=4, bar_width=2)
+        frames = np.concatenate([frames, frames[:, :44]], axis=1)  # 300 rows
+        cfg = MagnifyConfig(fft_backend="pallas", use_rfft=False,
+                            pad_mode="tight", interpret_pallas=True)
+        geom = geometry_for(300, 256, "tight")
+        assert geom.pad_h == 384  # 3 * 128: non-pow2
+        assert not _spatial_pallas_ok(cfg, geom, 4)
+        out = np.asarray(magnify_video_spatial(frames, cfg, _rows_mesh(4)))
+        want, _ = magnify_video(
+            frames, MagnifyConfig(pad_mode="tight", use_rfft=False))
+        assert psnr(out, np.asarray(want)) > 70.0
