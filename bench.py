@@ -296,7 +296,9 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
     rect_fps = fps_of(clip_dev, rect_cfg, reps=12)
     tight_720 = fps_of(clip_dev, cfg_tuned.replace(pad_mode="tight"),
                        reps=12)
-    log(f"720p tight (768x2048 = 6*128 rows): {fmt(tight_720)}")
+    t720 = (f"{tight_720:.2f} fps" if tight_720 is not None
+            else "SUSPECT: no trial passed the 2x-reps cross-check")
+    log(f"720p tight (768x2048 = 6*128 rows): {t720}")
     out_sq, _ = magnify_video(clip_dev, sq_cfg)
     out_rc, _ = magnify_video(clip_dev, rect_cfg)
     p = psnr(np.asarray(out_rc), np.asarray(out_sq))

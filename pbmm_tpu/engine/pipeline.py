@@ -216,9 +216,25 @@ def preprocess_cl(frames: jnp.ndarray, cfg: MagnifyConfig,
     geom = geometry_for(h_in, w_in, cfg.pad_mode)
     keep = hermitian_active(cfg, geom)
     r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, geom.pad_h)
+    m = RGB_TO_YIQ
+    if (planar and frames.dtype == jnp.uint8 and cfg.chroma != "rgb"
+            and not through_col and not want_iq
+            and geom.pad_w & (geom.pad_w - 1) == 0):
+        # Full 8-bit ingestion (r5): the Y FMA + 1/255 + pad + Hann all
+        # run inside the row-FFT kernel — the f32 Y slab never exists in
+        # HBM; the post kernel derives chroma from the same u8 planes.
+        from pbmm_tpu.spectral.fused import windowed_row_fft_u8planar
+
+        with jax.named_scope("pbmm.fft"):
+            re, im = windowed_row_fft_u8planar(
+                frames, (float(m[0, 0]), float(m[0, 1]), float(m[0, 2])),
+                pad_h=geom.pad_h, pad_w=geom.pad_w, y0=geom.y0,
+                x0=geom.x0, row0=r0, keep_half=keep,
+                interpret=cfg.interpret_pallas,
+            )
+        return re, im, None, None
     with jax.named_scope("pbmm.preprocess"):
         f = unit_float(frames)
-        m = RGB_TO_YIQ
         if planar:
             rgb = (f[:, 0], f[:, 1], f[:, 2])
         else:

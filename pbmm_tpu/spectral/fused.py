@@ -52,6 +52,7 @@ from pbmm_tpu.spectral.pallas_fft import (
     _dif_twiddles,
     _fft_stages,
     _intra_group_matrix,
+    _roll,
     bitrev_freq_axis,
 )
 
@@ -159,6 +160,142 @@ def windowed_row_fft(y: jnp.ndarray, pad_h: int = 0, row0: int = 0,
         ),
         interpret=interpret,
     )(y, wy, wx, twr, twi, gr, gi)
+
+
+@functools.partial(jax.jit, static_argnames=("coeffs", "pad_h", "pad_w",
+                                             "y0", "x0", "row0",
+                                             "keep_half", "interpret"))
+def windowed_row_fft_u8planar(frames_u8, coeffs, pad_h: int, pad_w: int,
+                              y0: int, x0: int, row0: int,
+                              keep_half: bool = False,
+                              interpret: bool = False):
+    """(T, 3, H, W) planar uint8 frames -> row-axis FFT of the windowed
+    luma slab, straight from the 8-bit source (r5, VERDICT r4 ask 3):
+    the Y = coeffs . rgb FMA, the 1/255 scale, the center pad and the
+    Hann window all happen in VMEM — the f32 Y slab never exists in HBM
+    (the XLA pre stage's 9.4 MB write + 9.4 MB re-read at 1080p become
+    ~12 MB of u8 reads).  Replaces `RGBToYIQ.shader:46-50` +
+    `PadTexture`/`ApplyWindowingFunction`
+    (`MotionMagnificationProcessor.cs:358-421`) at the byte level.
+
+    Geometry: the output covers the block-aligned content-row window
+    [row0, row0 + Hc) of the padded frame (`aligned_row_window`); each
+    64-row output block needs input rows offset by `off = y0 - row0`
+    (in [0, 64)), so the kernel reads TWO consecutive 64-row input
+    blocks and takes the static window with a sublane roll — the same
+    two-block scheme as the post kernel's blur halo.  `coeffs` is the
+    static (c_r, c_g, c_b) Y row of the color matrix.
+    """
+    t, nch, h_in, w_in = frames_u8.shape
+    assert nch == 3
+    assert frames_u8.dtype == jnp.uint8
+    twr_np, twi_np = _dif_twiddles(pad_w, False)
+    twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+    gr_np, gi_np = _intra_group_matrix(pad_w, False)
+    gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
+    stages = twr_np.shape[0]
+    r1 = min(pad_h, -(-(y0 + h_in) // 64) * 64)
+    hc = r1 - row0
+    assert hc % 64 == 0
+    wy = jnp.asarray(_hann_vec(pad_h)[row0:row0 + hc])[:, None]  # (Hc, 1)
+    wx = jnp.asarray(_hann_vec(pad_w))[None, :]
+    off = y0 - row0
+    assert 0 <= off < 64
+    start = 64 - off  # first needed row inside the two-block window
+    e = start % 8
+    base = start - e  # 8-aligned slice base; roll by e aligns the rest
+    nbi = -(-h_in // 64)  # input blocks (ragged tail zero-padded)
+
+    grid = (t, hc // 64)
+
+    def in_map_a(i, j):
+        return (i, 0, jnp.maximum(j - 1, 0), 0)
+
+    def in_map_b(i, j):
+        return (i, 0, jnp.minimum(j, nbi - 1), 0)
+
+    u8_spec_a = pl.BlockSpec((1, 3, 64, w_in), in_map_a,
+                             memory_space=pltpu.VMEM)
+    u8_spec_b = pl.BlockSpec((1, 3, 64, w_in), in_map_b,
+                             memory_space=pltpu.VMEM)
+    wy_spec = pl.BlockSpec((64, 1), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    wx_spec = pl.BlockSpec((1, pad_w), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((stages, pad_w), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    gm_spec = pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    segs = kept_segments(pad_w) if keep_half else None
+    wk = hermitian_kept_width(pad_w) if keep_half else pad_w
+    out_spec = pl.BlockSpec((1, 64, wk), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    cr_, cg_, cb_ = (float(c) for c in coeffs)
+
+    def _keep(x):
+        if segs is None or wk == pad_w:
+            return x
+        return jnp.concatenate(
+            [x[:, s * 128:e2 * 128] for s, e2 in segs], axis=1
+        )
+
+    def kernel(ua_ref, ub_ref, wy_ref, wx_ref, twr_ref, twi_ref,
+               gr_ref, gi_ref, ore, oim):
+        j = pl.program_id(1)
+
+        def luma(u_ref):
+            # Same op ORDER as unit_float + the plane FMA (u8 -> f32,
+            # * 1/255, then the matrix row) so the result is
+            # bit-identical to the XLA pre path.
+            s = jnp.float32(1.0 / 255.0)
+            r = u_ref[0, 0].astype(jnp.int32).astype(jnp.float32) * s
+            g = u_ref[0, 1].astype(jnp.int32).astype(jnp.float32) * s
+            b2 = u_ref[0, 2].astype(jnp.int32).astype(jnp.float32) * s
+            return r * cr_ + g * cg_ + b2 * cb_
+
+        two = jnp.concatenate([luma(ua_ref), luma(ub_ref)], axis=0)
+        rows = _roll(two, -e, 0)[base:base + 64]  # input rows of block j
+        # Zero the rows outside the real content (the j=0 / tail blocks
+        # read clamped neighbors): content iff 0 <= input row < H.
+        in_row = (j * 64 - off
+                  + jax.lax.broadcasted_iota(jnp.int32, (64, w_in), 0))
+        rows = jnp.where((in_row >= 0) & (in_row < h_in), rows, 0.0)
+        # Center pad the columns in VMEM, then the separable Hann.
+        parts = []
+        if x0 > 0:
+            parts.append(jnp.zeros((64, x0), jnp.float32))
+        parts.append(rows)
+        if x0 + w_in < pad_w:
+            parts.append(jnp.zeros((64, pad_w - x0 - w_in), jnp.float32))
+        yy = (jnp.concatenate(parts, axis=1) if len(parts) > 1 else rows)
+        yy = yy * wy_ref[:] * wx_ref[:]
+        keep_gm = segs is not None and wk != pad_w and pad_w >= 128
+        rr, ii = _fft_stages(yy, None, pad_w, 1, False, twr_ref, twi_ref,
+                             gm=(gr_ref[...], gi_ref[...]),
+                             apply_gm=not keep_gm)
+        rr, ii = _keep(rr), _keep(ii)
+        if keep_gm:
+            rr, ii = _apply_intra_group(rr, ii, gr_ref[...], gi_ref[...], 1)
+        ore[0] = rr
+        oim[0] = ii
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[u8_spec_a, u8_spec_b, wy_spec, wx_spec, tw_spec,
+                  tw_spec, gm_spec, gm_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, hc, wk), jnp.float32),
+            jax.ShapeDtypeStruct((t, hc, wk), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(frames_u8, frames_u8, wy, wx, twr, twi, gr, gi)
 
 
 @functools.partial(jax.jit, static_argnames=("pad_h", "row0", "interpret"))

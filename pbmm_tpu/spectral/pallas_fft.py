@@ -174,21 +174,25 @@ _GM_PRECISION = {
 }[_GM_MODE]
 
 
+_GM_ENV_DEFAULT = _GM_MODE
+
+
 def set_gm_precision(mode: str) -> None:
-    """Apply `cfg.gm_precision` ("" = leave the process default).  The
-    kernels read `_GM_MODE` at TRACE time, and every engine entry point
-    passes the config as a static (hashed) jit argument — so calling
-    this before tracing makes the choice deterministic per config and
-    survives checkpoints, unlike the env var (advisor r4)."""
+    """Apply `cfg.gm_precision` ("" = the process default: the
+    PBMM_GM_PRECISION env value, else "b3").  The kernels read
+    `_GM_MODE` at TRACE time, and every engine entry point passes the
+    config as a static (hashed) jit argument — so calling this before
+    tracing makes the choice deterministic per config and survives
+    checkpoints, unlike the env var (advisor r4).  "" RESTORES the
+    default rather than no-op'ing, so one explicit-precision call
+    cannot leak into later default-config traces in the same process."""
     global _GM_MODE, _GM_PRECISION
-    if not mode:
-        return
-    _GM_MODE = mode
+    _GM_MODE = mode or _GM_ENV_DEFAULT
     _GM_PRECISION = {
         "b3": jax.lax.Precision.DEFAULT,
         "default": jax.lax.Precision.DEFAULT,
         "highest": jax.lax.Precision.HIGHEST,
-    }[mode]
+    }[_GM_MODE]
 
 
 _DOT_DN = (((1,), (1,)), ((), ()))  # contract x's minor dim with A's k dim
