@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream the input in chunks through the native "
                         "prefetching loader (flat memory for long videos)")
     p.add_argument("--chunk-frames", type=int, default=8)
+    p.add_argument("--ingest", default="f32", choices=["f32", "u8"],
+                   help="u8 (r5): y4m sources decode to planar uint8 RGB "
+                        "on device, feeding the 8-bit ingestion kernels "
+                        "(~2.3x stream throughput; adds the one 8-bit "
+                        "rounding every rgb24 decoder applies)")
     p.add_argument("--stats", action="store_true",
                    help="print a JSON line of timing/shape stats to stderr")
     p.add_argument("--fast", action="store_true",
@@ -298,7 +303,8 @@ def _run(args, frames, cfg) -> int:
             n = 0
             tc = time.perf_counter()
             for chunk in stream_magnify(args.input, cfg,
-                                        chunk_frames=args.chunk_frames):
+                                        chunk_frames=args.chunk_frames,
+                                        ingest=args.ingest):
                 writer.write_chunk(chunk)
                 n += chunk.shape[0]
                 if args.stats:
@@ -317,7 +323,8 @@ def _run(args, frames, cfg) -> int:
             return 0
         out = np.concatenate(
             list(stream_magnify(args.input, cfg,
-                                chunk_frames=args.chunk_frames))
+                                chunk_frames=args.chunk_frames,
+                                ingest=args.ingest))
         )
         dt = time.perf_counter() - t0
         save_video(args.output, out)

@@ -52,3 +52,19 @@ def ycbcr_planes_to_rgb(y_u8: jnp.ndarray, cb_u8: jnp.ndarray,
     b = yf + 2.0 * (1.0 - _KB) * pb
     g = (yf - _KR * r - _KB * b) / _KG
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def ycbcr_planes_to_rgb_planar_u8(y_u8: jnp.ndarray, cb_u8: jnp.ndarray,
+                                  cr_u8: jnp.ndarray, h: int,
+                                  w: int) -> jnp.ndarray:
+    """(T, H, W) u8 luma + (T, ch, cw) u8 chroma -> (T, 3, H, W) uint8
+    planar RGB (r5): the layout + dtype the 8-bit ingestion kernels eat
+    (`windowed_row_fft_u8planar` + the post kernel's in-VMEM chroma) —
+    the full pipeline then never materializes an f32 plane of the
+    source.  Values are the f32 decode rounded once to 8 bits — exactly
+    what every rgb24 video decoder emits (the y4m source was 8-bit to
+    begin with)."""
+    rgb = ycbcr_planes_to_rgb(y_u8, cb_u8, cr_u8, h, w)  # (T, H, W, 3)
+    planar = jnp.moveaxis(rgb, -1, 1)
+    return jnp.round(planar * 255.0).astype(jnp.uint8)

@@ -261,3 +261,46 @@ def test_header_fps_and_rejects_non_y4m(tmp_path, rng):
         f.write(b"not a stream")
     with pytest.raises(ValueError):
         load_y4m(bad)
+
+
+class TestU8Ingest:
+    def test_u8_ingest_stream_close_to_f32(self, tmp_path, rng):
+        """`ingest="u8"` (r5): y4m decodes to planar uint8 RGB on device
+        for the 8-bit ingestion kernels; values differ from the f32
+        decode only by one 8-bit rounding."""
+        import numpy as np
+
+        from pbmm_tpu.config import MagnifyConfig
+        from pbmm_tpu.io.stream import stream_magnify
+        from pbmm_tpu.io.y4m import save_y4m
+        from pbmm_tpu.utils.metrics import psnr
+
+        frames = np.stack([
+            np.roll(rng.random((120, 128, 3)).astype(np.float32), i, axis=1)
+            for i in range(6)
+        ])
+        p = str(tmp_path / "clip.y4m")
+        save_y4m(p, frames, colorspace="444")
+        cfg = MagnifyConfig(phase_scale=10.0)
+        out_f32 = np.concatenate(list(stream_magnify(p, cfg)))
+        out_u8 = np.concatenate(list(stream_magnify(p, cfg, ingest="u8")))
+        assert out_u8.shape == out_f32.shape
+        assert psnr(out_u8, out_f32) > 45  # one extra 8-bit rounding
+
+    def test_u8_ingest_cli_flag(self, tmp_path, rng):
+        import numpy as np
+
+        from pbmm_tpu.cli import main
+        from pbmm_tpu.io.y4m import save_y4m
+
+        frames = np.stack([
+            np.roll(rng.random((32, 32, 3)).astype(np.float32), i, axis=1)
+            for i in range(4)
+        ])
+        p = str(tmp_path / "c.y4m")
+        save_y4m(p, frames, colorspace="444")
+        outp = str(tmp_path / "o.npy")
+        assert main(["--input", p, "--stream", "--ingest", "u8",
+                     "--output", outp]) == 0
+        o = np.load(outp)
+        assert o.shape == frames.shape and np.isfinite(o).all()
