@@ -194,19 +194,20 @@ def windowed_row_fft_u8planar(frames_u8, coeffs, pad_h: int, pad_w: int,
     gr_np, gi_np = _intra_group_matrix(pad_w, False)
     gr, gi = jnp.asarray(gr_np), jnp.asarray(gi_np)
     stages = twr_np.shape[0]
-    r1 = min(pad_h, -(-(y0 + h_in) // 64) * 64)
+    B = _ROW_BLOCK
+    r1 = min(pad_h, -(-(y0 + h_in) // B) * B)
     hc = r1 - row0
-    assert hc % 64 == 0
+    assert hc % B == 0
     wy = jnp.asarray(_hann_vec(pad_h)[row0:row0 + hc])[:, None]  # (Hc, 1)
     wx = jnp.asarray(_hann_vec(pad_w))[None, :]
     off = y0 - row0
-    assert 0 <= off < 64
-    start = 64 - off  # first needed row inside the two-block window
+    assert 0 <= off < B
+    start = B - off  # first needed row inside the two-block window
     e = start % 8
     base = start - e  # 8-aligned slice base; roll by e aligns the rest
-    nbi = -(-h_in // 64)  # input blocks (ragged tail zero-padded)
+    nbi = -(-h_in // B)  # input blocks (ragged tail zero-padded)
 
-    grid = (t, hc // 64)
+    grid = (t, hc // B)
 
     def in_map_a(i, j):
         return (i, 0, jnp.maximum(j - 1, 0), 0)
@@ -214,11 +215,11 @@ def windowed_row_fft_u8planar(frames_u8, coeffs, pad_h: int, pad_w: int,
     def in_map_b(i, j):
         return (i, 0, jnp.minimum(j, nbi - 1), 0)
 
-    u8_spec_a = pl.BlockSpec((1, 3, 64, w_in), in_map_a,
+    u8_spec_a = pl.BlockSpec((1, 3, B, w_in), in_map_a,
                              memory_space=pltpu.VMEM)
-    u8_spec_b = pl.BlockSpec((1, 3, 64, w_in), in_map_b,
+    u8_spec_b = pl.BlockSpec((1, 3, B, w_in), in_map_b,
                              memory_space=pltpu.VMEM)
-    wy_spec = pl.BlockSpec((64, 1), lambda i, j: (j, 0),
+    wy_spec = pl.BlockSpec((B, 1), lambda i, j: (j, 0),
                            memory_space=pltpu.VMEM)
     wx_spec = pl.BlockSpec((1, pad_w), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -229,7 +230,7 @@ def windowed_row_fft_u8planar(frames_u8, coeffs, pad_h: int, pad_w: int,
 
     segs = kept_segments(pad_w) if keep_half else None
     wk = hermitian_kept_width(pad_w) if keep_half else pad_w
-    out_spec = pl.BlockSpec((1, 64, wk), lambda i, j: (i, j, 0),
+    out_spec = pl.BlockSpec((1, B, wk), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
     cr_, cg_, cb_ = (float(c) for c in coeffs)
@@ -256,19 +257,19 @@ def windowed_row_fft_u8planar(frames_u8, coeffs, pad_h: int, pad_w: int,
             return r * cr_ + g * cg_ + b2 * cb_
 
         two = jnp.concatenate([luma(ua_ref), luma(ub_ref)], axis=0)
-        rows = _roll(two, -e, 0)[base:base + 64]  # input rows of block j
+        rows = _roll(two, -e, 0)[base:base + B]  # input rows of block j
         # Zero the rows outside the real content (the j=0 / tail blocks
         # read clamped neighbors): content iff 0 <= input row < H.
-        in_row = (j * 64 - off
-                  + jax.lax.broadcasted_iota(jnp.int32, (64, w_in), 0))
+        in_row = (j * B - off
+                  + jax.lax.broadcasted_iota(jnp.int32, (B, w_in), 0))
         rows = jnp.where((in_row >= 0) & (in_row < h_in), rows, 0.0)
         # Center pad the columns in VMEM, then the separable Hann.
         parts = []
         if x0 > 0:
-            parts.append(jnp.zeros((64, x0), jnp.float32))
+            parts.append(jnp.zeros((B, x0), jnp.float32))
         parts.append(rows)
         if x0 + w_in < pad_w:
-            parts.append(jnp.zeros((64, pad_w - x0 - w_in), jnp.float32))
+            parts.append(jnp.zeros((B, pad_w - x0 - w_in), jnp.float32))
         yy = (jnp.concatenate(parts, axis=1) if len(parts) > 1 else rows)
         yy = yy * wy_ref[:] * wx_ref[:]
         keep_gm = segs is not None and wk != pad_w and pad_w >= 128
