@@ -280,6 +280,7 @@ def _run(args, frames, cfg) -> int:
                 args.input, args.output, cfg,
                 chunk_frames=args.chunk_frames,
                 checkpoint=args.checkpoint,
+                ingest=args.ingest,
             )
             if args.stats:
                 print(json.dumps({"frames": n,
@@ -299,12 +300,19 @@ def _run(args, frames, cfg) -> int:
             # in, one frame out); --stats logs the per-chunk latency.
             from pbmm_tpu.io.y4m import Y4MStreamWriter
 
-            writer = Y4MStreamWriter(sys.stdout.buffer)
+            meta = {}
+            writer = None
             n = 0
             tc = time.perf_counter()
             for chunk in stream_magnify(args.input, cfg,
                                         chunk_frames=args.chunk_frames,
-                                        ingest=args.ingest):
+                                        ingest=args.ingest, meta=meta):
+                if writer is None:
+                    # The source header has been parsed by now; carry its
+                    # frame rate into the output header (r5: a 60 fps
+                    # source must not come out labeled F30:1).
+                    writer = Y4MStreamWriter(
+                        sys.stdout.buffer, fps=meta.get("fps", (30, 1)))
                 writer.write_chunk(chunk)
                 n += chunk.shape[0]
                 if args.stats:
@@ -351,7 +359,12 @@ def _run(args, frames, cfg) -> int:
     out = np.asarray(out_j)
     if args.checkpoint:
         save_state(state, args.checkpoint)
-    use_batched = cfg.engine == "batched"
+    # Report the engine that ACTUALLY served the run, not just the
+    # config field (the batched chunk engine has eligibility rules;
+    # ineligible configs fall back to the scan engine).
+    from pbmm_tpu.engine.video import _colspec_ok, _norm_shape, _use_batched
+
+    use_batched = _use_batched(cfg) and _colspec_ok(cfg, _norm_shape(frames))
 
     dt = time.perf_counter() - t0
     save_video(args.output, out)

@@ -127,7 +127,7 @@ def _y4m_device_chunks(plane_iter, chunk_frames: int,
 
 
 def _open_chunk_source(path: str, chunk_frames: int,
-                       planar_u8: bool = False):
+                       planar_u8: bool = False, meta: dict = None):
     """(loader_or_None, chunk_iterator): the native double-buffered loader
     for .npy when available (decode prefetch off the main thread),
     device-side YCbCr decode for y4m sources (file or stdin pipe),
@@ -146,14 +146,14 @@ def _open_chunk_source(path: str, chunk_frames: int,
         from pbmm_tpu.io.y4m import read_y4m_planes
 
         return None, _y4m_device_chunks(
-            read_y4m_planes(sys.stdin.buffer, "<stdin>"), chunk_frames,
-            planar_u8)
+            read_y4m_planes(sys.stdin.buffer, "<stdin>", meta=meta),
+            chunk_frames, planar_u8)
     if path.lower().endswith(".y4m"):
         from pbmm_tpu.io.y4m import read_y4m_planes
 
         def _file_planes():
             with open(path, "rb") as f:
-                yield from read_y4m_planes(f, path)
+                yield from read_y4m_planes(f, path, meta=meta)
 
         return None, _y4m_device_chunks(_file_planes(), chunk_frames,
                                         planar_u8)
@@ -166,6 +166,7 @@ def stream_magnify(
     chunk_frames: int = 8,
     state: Optional[VideoState] = None,
     ingest: str = "f32",
+    meta: dict = None,
 ) -> Iterator[np.ndarray]:
     """Yield magnified chunks (layout per `cfg.output_layout`).
 
@@ -179,7 +180,8 @@ def stream_magnify(
     applies anyway).
     """
     loader, chunk_iter = _open_chunk_source(path, chunk_frames,
-                                            planar_u8=(ingest == "u8"))
+                                            planar_u8=(ingest == "u8"),
+                                            meta=meta)
     try:
         for chunk in chunk_iter:
             out, state = magnify_video(chunk, cfg, state=state)
@@ -196,6 +198,7 @@ def stream_magnify_resumable(
     chunk_frames: int = 8,
     checkpoint: str = "",
     max_chunks: Optional[int] = None,
+    ingest: str = "f32",
 ) -> int:
     """Stream `input_path` -> magnified `output_path` (.npy), checkpointing
     after every chunk so a killed run resumes exactly where it stopped.
@@ -221,6 +224,15 @@ def stream_magnify_resumable(
         raise ValueError("resumable streaming writes incremental .npy "
                          f"output, got {output_path!r}")
     t, h, w, c = video_shape(input_path)
+    # The preallocated memmap's shape/dtype follow the configured output
+    # layout (r5): interleaved f32 (t,h,w,3), planar f32 (t,3,h,w), or
+    # planar uint8.
+    if cfg.output_layout == "interleaved":
+        out_shape, out_dtype = (t, h, w, c), np.float32
+    else:
+        out_shape = (t, c, h, w)
+        out_dtype = (np.uint8 if cfg.output_layout == "planar_u8"
+                     else np.float32)
 
     start = 0
     state: Optional[VideoState] = None
@@ -236,15 +248,15 @@ def stream_magnify_resumable(
 
     if os.path.exists(output_path) and start > 0:
         out_mm = np.lib.format.open_memmap(output_path, mode="r+")
-        if out_mm.shape != (t, h, w, c) or out_mm.dtype != np.float32:
+        if out_mm.shape != out_shape or out_mm.dtype != out_dtype:
             raise ValueError(
                 f"existing output {output_path!r} has "
                 f"{out_mm.dtype}{out_mm.shape}, expected "
-                f"float32({t}, {h}, {w}, {c})"
+                f"{np.dtype(out_dtype).name}{out_shape}"
             )
     else:
         out_mm = np.lib.format.open_memmap(
-            output_path, mode="w+", dtype=np.float32, shape=(t, h, w, c)
+            output_path, mode="w+", dtype=out_dtype, shape=out_shape
         )
         start = 0
         state = None
@@ -252,7 +264,7 @@ def stream_magnify_resumable(
     pos = start
     done_chunks = 0
     for chunk_out, state in _resume_chunks(
-        input_path, cfg, chunk_frames, start, state
+        input_path, cfg, chunk_frames, start, state, ingest
     ):
         n = chunk_out.shape[0]
         out_mm[pos:pos + n] = chunk_out
@@ -272,6 +284,7 @@ def _resume_chunks(
     chunk_frames: int,
     skip_frames: int,
     state: Optional[VideoState],
+    ingest: str = "f32",
 ) -> Iterator[tuple]:
     """Yield (magnified_chunk, new_state) starting at frame `skip_frames`.
 
@@ -279,7 +292,8 @@ def _resume_chunks(
     read and discarded (cheap: decode only, no device work); the memmap
     fallback slices directly.
     """
-    loader, chunk_iter = _open_chunk_source(input_path, chunk_frames)
+    loader, chunk_iter = _open_chunk_source(
+        input_path, chunk_frames, planar_u8=(ingest == "u8"))
     seen = 0
     try:
         for chunk in chunk_iter:

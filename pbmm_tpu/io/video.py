@@ -110,7 +110,15 @@ def save_video(path: str, frames: np.ndarray) -> None:
     try:  # pragma: no cover - optional dependency
         import imageio.v3 as iio
 
-        iio.imwrite(path, (np.clip(frames, 0, 1) * 255).astype(np.uint8))
+        # Normalize the r5 layouts for the container writer: planar
+        # (T, 3, H, W) -> interleaved; uint8 stays 0-255 (clip*255 on
+        # u8 data would near-binarize every pixel).
+        if frames.ndim == 4 and frames.shape[1] == 3 \
+                and frames.shape[-1] != 3:
+            frames = np.moveaxis(frames, 1, -1)
+        if frames.dtype != np.uint8:
+            frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+        iio.imwrite(path, frames)
     except ImportError as e:
         raise RuntimeError(
             f"cannot write {path!r}: only .npy/.npz/.y4m supported without imageio"

@@ -98,18 +98,24 @@ def _read_line(f) -> bytes:
     return bytes(out)
 
 
-def read_y4m_planes(f, name: str = "<stream>") -> Iterator[
+def read_y4m_planes(f, name: str = "<stream>", meta: dict = None
+                    ) -> Iterator[
         Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield raw (y (H,W), cb (ch,cw), cr (ch,cw)) uint8 planes per frame
     from an open binary stream — the zero-conversion reader the
     device-decode streaming path builds on (r4: planes cross host->device
     as ~1.5 bytes/px instead of 12 for decoded f32 RGB, and the chroma
-    upsample + BT.601 matrix run on the TPU, `io.device_decode`)."""
+    upsample + BT.601 matrix run on the TPU, `io.device_decode`).
+
+    `meta`: optional dict populated from the header before the first
+    frame is yielded ({"w", "h", "colorspace", "fps"}) — the pipe loop
+    propagates the source frame rate to its output header (r5)."""
     header = _read_line(f).decode("ascii", "replace").strip()
     if not header.startswith("YUV4MPEG2"):
         raise ValueError(f"{name!r} is not a YUV4MPEG2 stream")
     w = h = 0
     cs = "420jpeg"
+    fps = (30, 1)
     for tok in header.split()[1:]:
         if tok[0] == "W":
             w = int(tok[1:])
@@ -117,8 +123,16 @@ def read_y4m_planes(f, name: str = "<stream>") -> Iterator[
             h = int(tok[1:])
         elif tok[0] == "C":
             cs = tok[1:]
+        elif tok[0] == "F" and ":" in tok:
+            num, den = tok[1:].split(":", 1)
+            try:
+                fps = (int(num), int(den))
+            except ValueError:
+                pass
     if not (w and h):
         raise ValueError(f"{name!r}: missing W/H in y4m header")
+    if meta is not None:
+        meta.update(w=w, h=h, colorspace=cs, fps=fps)
     cw, ch = _chroma_dims(w, h, cs)
     ysz, csz = w * h, cw * ch
     while True:

@@ -131,6 +131,9 @@ _magnify_clip_batched_jit = jax.jit(_magnify_clip_batched_impl, static_argnums=1
 
 def magnify_clip_batched(frames, cfg: MagnifyConfig):
     """Single-device batched two-frame magnification of one clip."""
+    from pbmm_tpu.spectral.pallas_fft import set_gm_precision
+
+    set_gm_precision(cfg.gm_precision)
     return _magnify_clip_batched_jit(frames, cfg)
 
 
@@ -159,5 +162,8 @@ def magnify_batch_sharded(
     previous-spectrum access crosses shard boundaries as a 1-frame halo
     (collective-permute over ICI).
     """
+    from pbmm_tpu.spectral.pallas_fft import set_gm_precision
+
+    set_gm_precision(cfg.gm_precision)
     in_sh, _ = batch_shardings(mesh)
     return _sharded_fn(cfg, mesh)(jax.device_put(frames, in_sh))

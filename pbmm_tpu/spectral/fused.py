@@ -775,10 +775,12 @@ def _iir_filter_delta(delta, lpf, lps, cfg):
 
 @functools.lru_cache(maxsize=8)
 def _static_phase_planes(cfg, h: int, wk: int, full_w: int):
-    """Host-precomputed per-bin planes for the grouped phase kernel:
-    (total, m_amp) f32 (h, wk) in the bitrev/kept-lane layout, or None
-    when the config needs the in-kernel evaluation (overlapping bands,
-    standard mode).
+    """Host-precomputed per-bin planes for the chunk/phase kernels:
+    pyramid mode with disjoint bands -> (total, m_amp); standard mode ->
+    the one w(f) weight plane; None when the config needs the in-kernel
+    evaluation (overlapping bands, or a non-pyramid/-standard mode).
+    All planes are f32 (h, wk) in the working (bitrev or fourstep)
+    kept-lane layout.
 
     Rationale (r4): in the GROUPED pair stream the planes' blocks are
     fetched once per lane-block per chunk (their index map ignores the

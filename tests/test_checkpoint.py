@@ -143,3 +143,36 @@ class TestDriverResumeLoop:
         whole, _ = magnify_video(clip, MagnifyConfig())
         np.testing.assert_allclose(np.load(outp), np.asarray(whole),
                                    atol=1e-5)
+
+
+def test_resumable_planar_u8_layout(tmp_path):
+    """r5: the resumable driver's preallocated memmap follows the
+    configured output layout (planar uint8 here) and kill/resume stays
+    bit-identical."""
+    import numpy as np
+
+    from pbmm_tpu.config import MagnifyConfig
+    from pbmm_tpu.engine.video import magnify_video
+    from pbmm_tpu.io.stream import stream_magnify_resumable
+
+    rng = np.random.default_rng(0)
+    clip = np.stack([
+        np.roll(rng.random((24, 32, 3)).astype(np.float32), i, axis=1)
+        for i in range(8)
+    ])
+    inp = str(tmp_path / "in.npy")
+    np.save(inp, clip)
+    outp = str(tmp_path / "out.npy")
+    ck = str(tmp_path / "state.npz")
+    cfg = MagnifyConfig(phase_scale=5.0, output_layout="planar_u8")
+
+    n1 = stream_magnify_resumable(inp, outp, cfg, chunk_frames=2,
+                                  checkpoint=ck, max_chunks=2)
+    assert n1 == 4
+    n2 = stream_magnify_resumable(inp, outp, cfg, chunk_frames=2,
+                                  checkpoint=ck)
+    assert n2 == 8
+    got = np.load(outp)
+    assert got.dtype == np.uint8 and got.shape == (8, 3, 24, 32)
+    ref, _ = magnify_video(clip, cfg)
+    np.testing.assert_array_equal(got, np.asarray(ref))

@@ -182,7 +182,7 @@ class TestStreamingIngestion:
 
         frames = self._clip(rng, 6)
         p = str(tmp_path / "clip.y4m")
-        save_y4m(p, frames, colorspace="444")
+        save_y4m(p, frames, colorspace="444", fps=(60, 1))
 
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU untouched
@@ -195,6 +195,9 @@ class TestStreamingIngestion:
                 stdin=fin, capture_output=True, timeout=600, env=env,
             )
         assert res.returncode == 0, res.stderr.decode()[-2000:]
+        # The output header carries the SOURCE frame rate (r5: a 60 fps
+        # stream must not come out labeled F30:1).
+        assert b"F60:1" in res.stdout[:80]
         # stdout is a valid y4m stream of the magnified clip
         import io as _io
 
