@@ -41,9 +41,16 @@ def timed(fn, args, ks=(8, 48, 88)):
         @jax.jit
         def run(*a):
             def body(_, carry):
-                out = fn(a[0] + carry * 1e-30, *a[1:])
+                if a[0].dtype == jnp.uint8:
+                    # uint8 operands: a data-dependent zero keeps the
+                    # loop body un-hoistable without promoting the dtype.
+                    a0 = a[0] + (carry * 1e-30).astype(jnp.uint8)
+                else:
+                    a0 = a[0] + carry * 1e-30
+                out = fn(a0, *a[1:])
                 leaves = jax.tree_util.tree_leaves(out)
-                return carry + sum(l.ravel()[0] for l in leaves)
+                return carry + sum(
+                    l.ravel()[0].astype(jnp.float32) for l in leaves)
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
         return run
 
@@ -104,6 +111,23 @@ def main():
 
     stream_re = jnp.concatenate([rek_d + 0.1 * k for k in range(8)], axis=0)
     stream_im = jnp.concatenate([imk_d + 0.1 * k for k in range(8)], axis=0)
+    # The r5 u8 ingestion kernel: planar uint8 frames straight into the
+    # windowed row-FFT (divide the printed time by 1: one frame/call
+    # with T=4 frames per call -> divide by 4).
+    from pbmm_tpu.core.color import RGB_TO_YIQ
+    from pbmm_tpu.spectral.fused import windowed_row_fft_u8planar
+
+    u8_frames = jax.device_put(
+        (np.random.default_rng(1).random((4, 3, h, w)) * 255
+         ).astype(np.uint8))
+    m0 = RGB_TO_YIQ
+    exps["rowfft_u8planar4"] = (
+        lambda x: windowed_row_fft_u8planar(
+            x, (float(m0[0, 0]), float(m0[0, 1]), float(m0[0, 2])),
+            pad_h=hp, pad_w=wp, y0=geom.y0, x0=geom.x0, row0=r0,
+            keep_half=True),
+        (u8_frames,))
+
     exps["colspec_chunk8"] = (
         lambda a, b: colspec_chunk(a, b, pre_, pim, cfg, pad_h=hp,
                                    row0=r0, out_rows=rows, full_w=wp),

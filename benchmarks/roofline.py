@@ -109,6 +109,59 @@ def hot_path_stages(h: int = 1080, w: int = 1920, cfg=None):
     ]
 
 
+def hot_path_stages_u8(h: int = 1080, w: int = 1920, cfg=None):
+    """Analytic per-stage HBM bytes + FLOPs for the u8 planar video
+    pipeline (r5): planar uint8 in -> planar u8 out, tight geometry.
+    THREE kernels, no XLA pre at all:
+
+      k1 `windowed_row_fft_u8planar`: reads the 3 u8 planes (each input
+         block twice — the two-block pad-offset halo), FMA+window+pad in
+         VMEM, writes the kept row spectra;
+      k2 `colspec_chunk`: unchanged;
+      k3 `rowifft_post_fused(rgb_u8=..., out_layout='planar_u8')`: reads
+         the phase rows + the u8 planes for chroma, writes u8 planes.
+    """
+    from pbmm_tpu.config import MagnifyConfig
+    from pbmm_tpu.core.window import blur_taps, geometry_for
+    from pbmm_tpu.engine.pipeline import blur_row_window, hermitian_active
+    from pbmm_tpu.spectral.fused import aligned_row_window
+    from pbmm_tpu.spectral.hermitian import hermitian_kept_width
+
+    cfg = cfg or MagnifyConfig().tuned_for_tpu().replace(pad_mode="tight")
+    geom = geometry_for(h, w, cfg.pad_mode)
+    hp, wp = geom.pad_h, geom.pad_w
+    wk = hermitian_kept_width(wp) if hermitian_active(cfg, geom) else wp
+    r0, r1 = aligned_row_window(geom.y0, geom.y0 + geom.in_h, hp)
+    hc = r1 - r0
+    b0, b1 = blur_row_window(geom, cfg)
+    hr = b1 - b0
+    lg_w, lg_h = math.log2(wp), math.log2(hp)
+    taps = len(blur_taps(cfg.blur_size))
+    t_amort = 16
+    u8_in = 3 * h * w  # one uint8 read of the 3 planes
+    return [
+        (
+            "k1 u8-ingest + row-FFT (Hann fused)",
+            2 * u8_in,  # two-block halo: each input block read twice
+            2 * hc * wk * _F,
+            int(hc * 5 * wp * lg_w + 8 * h * w),
+        ),
+        (
+            "colspec: col-FFT + phase + col-IFFT",
+            2 * hc * wk * _F + (4 * hp * wk * _F) // t_amort,
+            2 * hr * wk * _F + (4 * hp * wk * _F) // t_amort,
+            int(2 * wk * 5 * hp * lg_h + hp * wk * 80),
+        ),
+        (
+            "row-IFFT + post (u8 chroma, u8 out)",
+            2 * hr * wk * _F + u8_in,
+            3 * h * w,  # planar uint8 output
+            int(hr * 5 * wp * lg_w + 4 * hr * wp)
+            + (4 * taps + 9 + 10) * h * w,
+        ),
+    ]
+
+
 def _sync(x):
     np.asarray(x).ravel()[:1]  # force through the tunnel
 
