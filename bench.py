@@ -212,7 +212,10 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
         out, state = magnify_video(frames_dev, cfg, state)
         sync(out)
         n = frames_dev.shape[0] * reps
-        for _ in range(3):
+        clean = []
+        for _ in range(4):
+            if len(clean) >= 2:
+                break
             t0 = time.perf_counter()
             for _ in range(reps):
                 out, state = magnify_video(frames_dev, cfg, state)
@@ -224,7 +227,12 @@ def extra_benches(jax, frames_1080, cfg_tuned, sync):
             sync(out)
             dt2 = time.perf_counter() - t0
             if 1.5 <= dt2 / dt <= 2.5:
-                return n / (dt2 - dt)
+                clean.append(n / (dt2 - dt))
+        if clean:
+            # Mean of 2 clean trials: one loaded-tunnel moment cannot
+            # print as the line's number (r5: a single clean trial once
+            # read 1203 fps on a config whose band is ~2000-2170).
+            return float(np.mean(clean))
         return None  # every retry failed the cross-check (advisor r4):
         #               no number beats a misleading one
 
